@@ -1,0 +1,236 @@
+"""Spark-native extraction pipeline: documents(doc_id, spans) -> extracted.
+
+The per-document converter (html2text_spark.core.converter) is pure and
+row-local, so the pipeline is a single narrow *projection*:
+
+    scan -> [optional skew repartition] -> mapInPandas(convert) -> sink
+
+No shuffle is required for correctness -- only the optional explicit
+repartition to defuse large-document skew (BASELINE.json north_rule).
+Catalyst prunes the scan to (doc_id, spans) automatically because the
+plan is declared via the DataFrame API.
+
+Design notes for the 10^12-document scale target:
+  * documents are embarrassingly parallel; state never crosses rows;
+  * Arrow batches amortize the JVM->Python boundary; batch size should be
+    tuned by bytes not rows (see recommended_session_conf);
+  * skew: a single 100 MB document in a partition of 4 KB documents
+    stalls the stage tail -- salt_by_size() spreads documents uniformly
+    by a size-aware hash before the projection;
+  * resume: the checkpoint module writes per-partition manifests; the
+    anti-join in resume_filter() skips completed documents.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .core.config import Config
+from .core.converter import convert_spans
+
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+    ]
+)
+
+METRICS_TYPE = StructType(
+    [
+        StructField("spans", IntegerType()),
+        StructField("bytes_in", LongType()),
+        StructField("malformed", BooleanType()),
+        StructField("ms", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("metrics", METRICS_TYPE),
+    ]
+)
+
+
+def recommended_session_conf() -> dict:
+    """Session settings for the extraction workload (large string rows)."""
+    return {
+        # smaller Arrow batches: documents are KB..MB, not tuples
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # a 100 TB corpus scan: default 128 MB splits are fine, but keep
+        # shuffle partitions proportional to cluster cores, not data size
+        "spark.sql.files.maxPartitionBytes": "134217728",
+    }
+
+
+def _convert_row_spans(raw_spans, cfg: Config):
+    """Pure per-row conversion: input span structs -> output span structs."""
+    in_spans = []
+    bytes_in = 0
+    for s in sorted(raw_spans, key=lambda x: x["offset"]):
+        kind = s["kind"] or ""
+        text = s["text"] or ""
+        media = s["media_ref"] or ""
+        bytes_in += len(text.encode("utf-8", "ignore")) + len(media)
+        in_spans.append((kind, text, media))
+    t0 = time.perf_counter()
+    malformed = False
+    try:
+        out = convert_spans(in_spans, cfg)
+    except Exception:
+        # conversion must never fail the job: flag the row (the reference
+        # raises LogicException for e.g. invalid base URLs -- we record it)
+        malformed = True
+        out = []
+    ms = (time.perf_counter() - t0) * 1000.0
+    out_structs = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(out)
+    ]
+    return out_structs, {
+        "spans": len(out_structs),
+        "bytes_in": bytes_in,
+        "malformed": malformed,
+        "ms": ms,
+    }
+
+
+def make_extract_fn(cfg: Optional[Config] = None):
+    """Build the mapInPandas batch function (closure captures the config)."""
+    cfg = cfg or Config()
+
+    def extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_spans_col = []
+            metrics_col = []
+            for raw in pdf["spans"]:
+                spans, metrics = _convert_row_spans(raw, cfg)
+                out_spans_col.append(spans)
+                metrics_col.append(metrics)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "spans": out_spans_col,
+                    "metrics": metrics_col,
+                }
+            )
+
+    return extract_batches
+
+
+def salt_by_size(
+    df: DataFrame, num_partitions: int, size_col_expr=None
+) -> DataFrame:
+    """Spread documents across partitions by a size-aware salt.
+
+    Large-document skew defusal (north_rule): hash on doc_id alone would
+    co-locate by chance; range-partitioning on total html length pairs the
+    monsters together in the *same* partitions.  Instead we interleave:
+    sort-key = (size_bucket, xxhash64(doc_id)) round-robined over
+    num_partitions so every partition receives the same mix of large and
+    small documents.
+    """
+    if size_col_expr is None:
+        size_col_expr = F.aggregate(
+            "spans", F.lit(0), lambda acc, s: acc + F.length(s["text"])
+        )
+    salted = df.withColumn("_sz", size_col_expr).withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("doc_id") + F.pmod(F.col("_sz"), F.lit(num_partitions)),
+            F.lit(num_partitions),
+        ),
+    )
+    return salted.repartition(num_partitions, "_salt").drop("_sz", "_salt")
+
+
+def extract(
+    df: DataFrame,
+    cfg: Optional[Config] = None,
+    salt_partitions: Optional[int] = None,
+) -> DataFrame:
+    """documents(doc_id, spans) -> extracted(doc_id, spans, metrics)."""
+    if salt_partitions:
+        df = salt_by_size(df, salt_partitions)
+    return df.select("doc_id", "spans").mapInPandas(
+        make_extract_fn(cfg), OUTPUT_SCHEMA
+    )
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Corpus-level metrics (north_rule: docs/sec, spans/doc, malformed rate).
+
+    A single partial+final hash aggregation (map-side combine handled by
+    Catalyst); cheap at any scale.
+    """
+    return extracted.agg(
+        F.count("*").alias("docs"),
+        F.sum("metrics.spans").alias("spans_total"),
+        F.avg("metrics.spans").alias("spans_per_doc"),
+        F.sum("metrics.bytes_in").alias("bytes_in_total"),
+        F.avg(F.col("metrics.malformed").cast("int")).alias("malformed_rate"),
+        F.sum("metrics.ms").alias("convert_ms_total"),
+    )
+
+
+def per_partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Same metrics grouped by physical partition (lineage manifests)."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("metrics.spans").alias("spans_total"),
+            F.sum("metrics.bytes_in").alias("bytes_in_total"),
+            F.sum(F.col("metrics.malformed").cast("int")).alias("malformed_docs"),
+            F.sum("metrics.ms").alias("convert_ms_total"),
+        )
+    )
+
+
+def text_of(extracted: DataFrame) -> DataFrame:
+    """Reassemble the markdown text per document (fixture-equality view).
+
+    Pure built-in column expressions (JVM-side, codegen'd): filter the
+    span array to kind='text' and concatenate in offset order.
+    """
+    return extracted.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+        ).alias("markdown"),
+    )

@@ -1,0 +1,152 @@
+"""Corpus sources: parquet/Iceberg scans, fixture corpus, synthetic generator.
+
+In production the input is an Iceberg table of interleaved text+media
+documents (BASELINE.json input_hint); in this sandbox the same shape is
+synthesized deterministically or adapted from the driver's flat
+``documents`` parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import iter_fixtures
+from .pipeline import INPUT_SCHEMA
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a documents table already in the interleaved-span shape.
+
+    For Iceberg: spark.read.format('iceberg').load(table).  The scan is
+    column-pruned by Catalyst to (doc_id, spans).
+    """
+    if path.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(path[len("iceberg:") :])
+    return spark.read.parquet(path)
+
+
+def fixture_documents(spark: SparkSession) -> DataFrame:
+    """The 78 reference golden fixtures as one-span documents."""
+    rows = [
+        (name, [{"kind": "html", "text": html, "media_ref": "", "offset": 0}])
+        for name, html, _expected, _cfg in iter_fixtures()
+    ]
+    return spark.createDataFrame(rows, INPUT_SCHEMA)
+
+
+def adapt_flat_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapt a flat (doc_id, text, ...) table to the interleaved-span shape.
+
+    Pure built-in expressions -- no Python; the wrap is a zero-shuffle
+    projection so filters on doc_id still push down to the scan.
+    """
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col(text_col).cast("string").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+# ----------------------------------------------------------------------
+# deterministic synthetic interleaved corpus (no external data)
+# ----------------------------------------------------------------------
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo"
+).split()
+
+
+def _doc_html(rng_state: int, size_class: int) -> list:
+    """Build one deterministic interleaved span list from an integer seed.
+
+    size_class skews sizes log-uniformly: most documents are small, a few
+    are huge (the skew the salting must defuse).
+    """
+    import random
+
+    rng = random.Random(rng_state)
+    n_blocks = 2 + size_class * 3
+    spans = []
+    offset = 0
+    for b in range(n_blocks):
+        parts = ["<h2>Sec %d</h2>" % b]
+        n_paras = 1 + rng.randint(0, 2 + size_class)
+        for _p in range(n_paras):
+            words = [rng.choice(_WORDS) for _ in range(8 + rng.randint(0, 40))]
+            if rng.random() < 0.3:
+                words[rng.randint(0, len(words) - 1)] = (
+                    '<a href="http://example.com/%d">link%d</a>'
+                    % (rng.randint(0, 999), b)
+                )
+            if rng.random() < 0.2:
+                words.append('<img src="img://%d.png" alt="pic"/>' % rng.randint(0, 9999))
+            parts.append("<p>" + " ".join(words) + "</p>")
+        if rng.random() < 0.25:
+            items = "".join(
+                "<li>%s</li>" % rng.choice(_WORDS) for _ in range(rng.randint(2, 6))
+            )
+            parts.append("<ul>%s</ul>" % items)
+        spans.append({
+            "kind": "html",
+            "text": "".join(parts),
+            "media_ref": "",
+            "offset": offset,
+        })
+        offset += 1
+        if rng.random() < 0.3:
+            spans.append({
+                "kind": "media",
+                "text": "",
+                "media_ref": "asset://%d" % rng.randint(0, 10**9),
+                "offset": offset,
+            })
+            offset += 1
+    return spans
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic interleaved corpus, generated distributed.
+
+    spark.range drives the generation so the corpus is built in parallel
+    on executors (scales to any n_docs); content is a pure function of
+    (seed, id) so the corpus is stable across runs and cluster sizes.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            doc_ids = []
+            spans_col = []
+            for i in ids:
+                i = int(i)
+                # log-uniform size classes 0..4: ~1% of docs are 'monsters'
+                h = (i * 2654435761 + seed) & 0xFFFFFFFF
+                r = h / 0xFFFFFFFF
+                size_class = 4 if r < 0.01 else (3 if r < 0.05 else (2 if r < 0.2 else (1 if r < 0.5 else 0)))
+                doc_ids.append("doc-%012d" % i)
+                spans_col.append(_doc_html(seed * 1000003 + i, size_class))
+            yield pd.DataFrame({"doc_id": doc_ids, "spans": spans_col})
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(gen, INPUT_SCHEMA)
+    )

@@ -1,0 +1,176 @@
+"""End-to-end Spark pipeline tests: fixture parity through mapInPandas,
+interleaved media preservation, metrics, skew salting, checkpoint/resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from html2text_spark.checkpoint import (
+    completed_buckets,
+    read_extracted,
+    resume_filter,
+    run_extraction_checkpointed,
+)
+from html2text_spark.core.config import Config
+from html2text_spark.core.converter import convert
+from html2text_spark.fixtures import (
+    ERROR_FIXTURES,
+    iter_fixtures,
+    options_for_fixture,
+)
+from html2text_spark.pipeline import (
+    INPUT_SCHEMA,
+    extract,
+    extraction_metrics,
+    per_partition_metrics,
+    salt_by_size,
+    text_of,
+)
+from html2text_spark.sources import (
+    adapt_flat_documents,
+    fixture_documents,
+    synthetic_documents,
+)
+
+
+def test_fixture_parity_through_spark(spark):
+    """All 78 golden fixtures through the distributed pipeline, grouped by
+    config (one Spark job per distinct fixture config)."""
+    groups = {}
+    for name, html, expected, cfg in iter_fixtures():
+        key = tuple(sorted(options_for_fixture(name).items()))
+        groups.setdefault(key, []).append((name, html, expected, cfg))
+
+    checked = 0
+    for key, fixtures in groups.items():
+        cfg = fixtures[0][3]
+        rows = [
+            (name, [{"kind": "html", "text": html, "media_ref": "", "offset": 0}])
+            for name, html, _e, _c in fixtures
+        ]
+        df = spark.createDataFrame(rows, INPUT_SCHEMA)
+        result = {r["doc_id"]: r for r in extract(df, cfg).collect()}
+        for name, _html, expected, _cfg in fixtures:
+            row = result[name]
+            md = "".join(
+                s["text"] for s in row["spans"] if s["kind"] == "text"
+            ).rstrip()
+            if name in ERROR_FIXTURES:
+                assert row["metrics"]["malformed"] is True
+            else:
+                assert md == expected, f"fixture {name} mismatch via Spark"
+            checked += 1
+    assert checked == 78
+
+
+def test_media_interleaving(spark):
+    rows = [
+        (
+            "doc-1",
+            [
+                {"kind": "html", "text": "<p>one</p>", "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "asset://a", "offset": 1},
+                {
+                    "kind": "html",
+                    "text": "<p>two <img src='i.png' alt='x'/></p>",
+                    "media_ref": "",
+                    "offset": 2,
+                },
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    row = extract(df).collect()[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    media = [s["media_ref"] for s in row["spans"] if s["kind"] == "media_ref"]
+    assert media == ["asset://a", "i.png"]
+    assert kinds[0] == "text"
+    # offsets are the running output ordinal
+    assert [s["offset"] for s in row["spans"]] == list(range(len(kinds)))
+
+
+def test_metrics_and_partition_metrics(spark):
+    docs = synthetic_documents(spark, 50, seed=7)
+    ext = extract(docs, salt_partitions=4)
+    m = extraction_metrics(ext).collect()[0]
+    assert m["docs"] == 50
+    assert m["spans_total"] > 0
+    assert m["malformed_rate"] == 0.0
+    pm = per_partition_metrics(ext).collect()
+    assert sum(r["docs"] for r in pm) == 50
+    # salting spread: no partition holds more than half the corpus
+    assert max(r["docs"] for r in pm) < 40
+
+
+def test_malformed_flag(spark):
+    cfg = Config(base_url="://bad base")
+    rows = [
+        (
+            "bad-base",
+            [
+                {
+                    "kind": "html",
+                    "text": '<a href="x.html">x</a>',
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    row = extract(df, cfg).collect()[0]
+    assert row["metrics"]["malformed"] is True
+
+
+def test_adapt_flat_documents(spark):
+    flat = spark.createDataFrame(
+        [(1, "<p>hello <b>spark</b></p>")], "doc_id long, text string"
+    )
+    docs = adapt_flat_documents(flat)
+    row = text_of(extract(docs)).collect()[0]
+    assert row["markdown"] == convert("<p>hello <b>spark</b></p>")
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "run1")
+    docs = synthetic_documents(spark, 40, seed=3)
+    s1 = run_extraction_checkpointed(
+        spark, docs, out, num_buckets=4, input_lineage="synthetic-seed3"
+    )
+    assert sorted(s1["ran_buckets"]) == [0, 1, 2, 3]
+    assert s1["docs"] == 40
+    # simulate a crash that lost one bucket's manifest: it must re-run,
+    # everything else must be skipped
+    os.remove(os.path.join(out, "_manifests", "part-2.json"))
+    s2 = run_extraction_checkpointed(
+        spark, docs, out, num_buckets=4, input_lineage="synthetic-seed3"
+    )
+    assert s2["ran_buckets"] == [2]
+    assert sorted(s2["resumed_buckets"]) == [0, 1, 3]
+    total = read_extracted(spark, out)
+    assert total.count() == 40
+    assert completed_buckets(out) == [0, 1, 2, 3]
+
+
+def test_resume_filter_anti_join(spark):
+    docs = synthetic_documents(spark, 20, seed=5)
+    done = extract(docs.limit(12))
+    remaining = resume_filter(docs, done)
+    assert remaining.count() == 8
+
+
+def test_html_to_md_udf(spark):
+    from html2text_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        "select html_to_md('<h1>T</h1><p>body</p>') as md"
+    ).collect()[0]
+    assert row["md"] == "# T\n\nbody\n\n"
+
+
+def test_salt_by_size_plan_is_single_exchange(spark):
+    docs = synthetic_documents(spark, 10, seed=1)
+    plan = extract(docs, salt_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
