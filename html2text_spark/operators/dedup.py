@@ -1,0 +1,263 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+All hot paths are built-in Spark SQL expressions (JVM-side, codegen'd,
+no Python in the row loop) so they survive a 100 TB corpus:
+
+  * exact_dedup      one shuffle on content hash (uniformly distributed
+                     by construction -- no skew possible)
+  * minhash_lsh      shingle -> minhash -> band -> bucket self-join; the
+                     candidate join key is (band_idx, band_hash), again
+                     uniform; signatures are md5-based so they are
+                     deterministic and reproducible in ANSI SQL (the
+                     DuckDB oracle mirrors the exact same arithmetic)
+  * ngram_jaccard    exact pairwise verification *within candidate
+                     buckets only* (never all-pairs at scale; the
+                     all-pairs-within-group variant here is for small
+                     grouped corpora / verification)
+  * simhash64        Arrow-batched pandas UDF (bit-vote loop is not
+                     expressible as built-ins); 64-bit fingerprint with
+                     hamming-distance banding
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# 15 hex chars = 60 bits: fits in a signed 64-bit integer in both Spark
+# (conv -> cast) and DuckDB ('0x...'::BIGINT), so oracles match exactly.
+_HEX_PREFIX_LEN = 15
+
+
+def md5_int(col: Column) -> Column:
+    """Deterministic 60-bit integer hash, reproducible in ANSI SQL."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_PREFIX_LEN), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document exact-duplicate labeling via content-hash windows.
+
+    Returns (doc_id, content_hash, dup_count, is_canonical): canonical =
+    the minimum doc_id of its hash group.  One shuffle on content_hash.
+    """
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("dup_count", F.count("*").over(w))
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+    )
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array column (built-ins only)."""
+    w = _words(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """(doc_id, sig[num_hashes]): sig_i = min over shingles of
+    md5_int(shingle || '#i').  Pure projection -- no shuffle."""
+    sh = shingles(text_col, k)
+
+    def _minhash(i: int) -> Column:
+        # NB: keep the transform lambda single-argument -- a two-arg lambda
+        # would be interpreted by Spark as (element, index)
+        salt = F.lit(f"#{i}")
+        return F.array_min(F.transform(sh, lambda s: md5_int(F.concat(s, salt))))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    Plan shape: projection -> explode(bands) -> self-join on
+    (band_idx, band_hash) -> distinct.  The join key is a hash, so the
+    shuffle is uniform; at 10^12 docs the bucket sizes follow the true
+    duplicate-cluster distribution (heavy clusters are real duplicates,
+    which downstream keeps-one anyway).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs *within a group*.
+
+    Intended for candidate verification (group = LSH bucket) or small
+    partitions (group = source).  Never call with group = whole corpus.
+    """
+    grams = df.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.array_distinct(shingles(text_col, k)).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union.cast("double"), 8).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (Arrow-batched pandas UDF).
+
+    Tokens vote per bit weighted by term frequency; md5-based token
+    hashes keep it deterministic across executors and runs.
+    """
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return 0
+            votes = [0] * 64
+            for tok in text.split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8],
+                    "big",
+                )
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            out = 0
+            for bit in range(64):
+                if votes[bit] > 0:
+                    out |= 1 << bit
+            # two's-complement into signed 64-bit
+            return out - (1 << 64) if out >= (1 << 63) else out
+
+        return texts.map(one)
+
+    return df.select(doc_id_col, _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Pigeonhole: if hamming(a,b) <= max_hamming, at least one of
+    (max_hamming+1) disjoint 16-bit bands is equal -> self-join per band,
+    verify exact hamming with bit_count (built-in) after the join.
+    """
+    hashed = simhash64(df, text_col)
+    bands = max_hamming + 1
+    width = 64 // bands
+    banded = hashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_key")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

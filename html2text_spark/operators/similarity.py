@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * cosine_topk     exact brute force: broadcast the (small) query side
+                    against the corpus, window top-k.  The baseline and
+                    the verification oracle.  All arithmetic in double
+                    with a left-fold sum so the DuckDB oracle reproduces
+                    results bit-for-bit.
+  * lsh_topk        random-hyperplane LSH: bucket the corpus by sign
+                    signature, probe only matching buckets.  The scale
+                    path: corpus side shuffles once on bucket key; query
+                    side is broadcast.  Approximate -- tests measure
+                    recall against cosine_topk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Plan: corpus scan -> broadcast-join the tiny query side -> projection
+    (codegen'd fold for dot/norm) -> window top-k partitioned by query.
+    The only shuffle is the window's hash partition on qid (|queries|
+    keys) over |queries| x |corpus| similarity rows; at 10^12-doc scale
+    swap the window for a per-partition heap aggregation, same API.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    queries = corpus.filter(
+        F.col("vec_id").isin(list(query_ids))
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    joined = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 8)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes (md5-driven, no RNG
+    state -- identical on every executor and every run)."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            u = int.from_bytes(digest[:8], "big") / 2**64  # [0,1)
+            v = int.from_bytes(digest[8:], "big") / 2**64
+            # Box-Muller for a gaussian component
+            vec.append(
+                math.sqrt(-2.0 * math.log(u + 1e-12)) * math.cos(2 * math.pi * v)
+            )
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
+    """Sign-signature bucket id from the hyperplane table (built-ins only:
+    the plane table is a literal array, folded JVM-side)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = _dot(vec_col, lit_plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: multi-probe sign-signature LSH.
+
+    2^n_planes buckets; corpus hashed once (projection).  The tiny query
+    side is *expanded* to all buckets within hamming distance
+    ``probe_bits`` of its own signature (1 + n_planes probes for
+    probe_bits=1), so the candidate lookup stays a broadcast equi-join on
+    the bucket key -- no cross join, no skew -- while recall rises with
+    the probe count.  Exact cosine re-ranks inside the candidate set.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    queries = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = [F.col("qbucket")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    if probe_bits >= 2:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    queries = queries.withColumn(
+        "probe", F.explode(F.array(*probes))
+    )
+    joined = F.broadcast(queries).join(
+        corpus,
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
+    )
+    sim = F.round(
+        _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 8
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

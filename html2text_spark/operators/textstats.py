@@ -1,0 +1,112 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Every operator is a pure projection of built-in Spark SQL expressions
+(whole-stage-codegen'd, zero shuffle, zero Python) and every formula is
+mirrorable in ANSI SQL so the DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+#: BPE-ish token pattern: alnum runs or single non-space symbols
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: marker words per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_words): regexp token count + whitespace words."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+    )
+
+
+def _marker_hits(text_col: str, words) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation and stopword ratios.
+
+    score = 0.4*min(words/100,1) + 0.3*stopword_ratio*5 (capped at 0.3)
+          + 0.3*(1 - punct_ratio*10 capped to [0,1])
+    Deterministic double arithmetic, mirrored in the oracle SQL.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_words = F.size(F.split(F.trim(text), r"\s+")).cast("double")
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+    n_stop = _marker_hits(text_col, STOPWORDS).cast("double")
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.least(F.lit(0.3), F.lit(0.3) * stop_ratio * F.lit(5.0))
+        + F.lit(0.3)
+        * F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(punct_ratio, 8).alias("punct_ratio"),
+        F.round(stop_ratio, 8).alias("stopword_ratio"),
+        F.round(score, 8).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID over LANG_MARKERS.
+
+    predicted = argmax over languages of marker-hit count (ties broken by
+    language code ascending, matching the oracle's deterministic order).
+    """
+    scores = [
+        (lang, _marker_hits(text_col, words)) for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    predicted = F.coalesce(
+        *[F.when(s == best, F.lit(lang)) for lang, s in scores]
+    )
+    cols = [F.col("doc_id")]
+    cols += [s.alias(f"score_{lang}") for lang, s in scores]
+    cols += [
+        F.when(best > 0, predicted).otherwise(F.lit("und")).alias("predicted_lang")
+    ]
+    return df.select(*cols)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the word sequence.
+
+    fold: acc = (acc * 31 + md5_int(word)) mod 10^15 -- stays within
+    int64 (acc < 1e15, md5_int < 1.16e18, product+sum < 9.2e18) so both
+    engines compute identical values with no overflow.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(31) + md5_int(w)) % F.lit(10**15),
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
