@@ -32,12 +32,27 @@ _Q = Callable[[SparkSession, str], DataFrame]
 TOKEN_PATTERN_SQL = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a small single-file scan across the cluster.
+
+    The sandbox testdata is one parquet file per table, which scans as
+    1-2 partitions and would serialize every downstream projection; a
+    real corpus scan has thousands of splits and never hits this.  The
+    repartition is a few MB -- negligible -- and removed by AQE when
+    the input is already wide.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 # ----------------------------------------------------------------------
@@ -272,18 +287,22 @@ _MD5INT = "('0x'||substr(md5({expr}),1,15))::BIGINT"
 
 
 def _minhash_sig_sql(src: str = "documents") -> str:
-    """CTE producing (doc_id, h0..h7) minhash signatures over ``src``."""
+    """CTE producing (doc_id, h0..h7) minhash signatures over ``src``,
+    mirroring dedup.minhash_signatures: one 32-bit md5 per shingle, then
+    the universal hash family (a_i*h + b_i) mod (2^61-1)."""
+    from html2text_spark.operators.dedup import _MERSENNE_P, _UNIVERSAL_COEFFS
+
     hashes = ",\n  ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _MD5INT.format(expr=f"s||'#{i}'")
-        + f")) as h{i}"
-        for i in range(8)
+        f"list_min(list_transform(base, h -> ({a}*h + {b}) % {_MERSENNE_P})) as h{i}"
+        for i, (a, b) in enumerate(_UNIVERSAL_COEFFS)
     )
     return f"""
 w as (select doc_id, regexp_split_to_array(trim(text), '\\s+') as words from {src}),
 sh as (select doc_id, list_transform(range(1, greatest(len(words)-2,1)+1),
        i -> array_to_string(words[i:i+2], ' ')) as shingles from w),
-sig as (select doc_id, {hashes} from sh)
+b as (select doc_id, list_transform(shingles,
+      s -> ('0x'||substr(md5(s),1,8))::BIGINT) as base from sh),
+sig as (select doc_id, {hashes} from b)
 """
 
 

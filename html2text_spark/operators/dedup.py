@@ -5,11 +5,12 @@ no Python in the row loop) so they survive a 100 TB corpus:
 
   * exact_dedup      one shuffle on content hash (uniformly distributed
                      by construction -- no skew possible)
-  * minhash_lsh      shingle -> minhash -> band -> bucket self-join; the
-                     candidate join key is (band_idx, band_hash), again
-                     uniform; signatures are md5-based so they are
-                     deterministic and reproducible in ANSI SQL (the
-                     DuckDB oracle mirrors the exact same arithmetic)
+  * minhash_lsh      shingle -> minhash -> band -> bucket groupBy with
+                     in-bucket pair expansion; the aggregation key is a
+                     hash, so the shuffle is uniform; signatures are
+                     md5+universal-hash based, deterministic and
+                     reproducible in ANSI SQL (the DuckDB oracle mirrors
+                     the exact same arithmetic)
   * ngram_jaccard    exact pairwise verification *within candidate
                      buckets only* (never all-pairs at scale; the
                      all-pairs-within-group variant here is for small
@@ -37,6 +38,27 @@ _HEX_PREFIX_LEN = 15
 def md5_int(col: Column) -> Column:
     """Deterministic 60-bit integer hash, reproducible in ANSI SQL."""
     return F.conv(F.substring(F.md5(col), 1, _HEX_PREFIX_LEN), 16, 10).cast("long")
+
+
+def md5_int32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash (8 hex chars), for universal
+    hashing where products must stay within int64."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+#: fixed (a, b) coefficients for the universal hash family
+#: h_i(x) = (a_i*x + b_i) mod _MERSENNE_P; odd a, deterministic constants
+_MERSENNE_P = (1 << 61) - 1
+_UNIVERSAL_COEFFS = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (1103527590, 123456789),
+    (747796405, 2891336453),
+]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,14 +94,22 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 3
 ) -> DataFrame:
     """(doc_id, sig[num_hashes]): sig_i = min over shingles of
-    md5_int(shingle || '#i').  Pure projection -- no shuffle."""
+    (a_i * md5_int32(shingle) + b_i) mod (2^61-1).  Pure projection --
+    no shuffle."""
+    # hash every shingle ONCE (32-bit md5 prefix), then derive the i-th
+    # hash family member by universal hashing h_i = (a_i*h + b_i) mod p --
+    # 8x less md5 work than salting the shingle per function, and the
+    # arithmetic stays within int64 (a < 2^31, h < 2^32 -> product < 2^63)
     sh = shingles(text_col, k)
+    base = F.transform(sh, lambda s: md5_int32(s))
 
     def _minhash(i: int) -> Column:
+        a, b = _UNIVERSAL_COEFFS[i]
         # NB: keep the transform lambda single-argument -- a two-arg lambda
         # would be interpreted by Spark as (element, index)
-        salt = F.lit(f"#{i}")
-        return F.array_min(F.transform(sh, lambda s: md5_int(F.concat(s, salt))))
+        return F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
+        )
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return df.select("doc_id", sig.alias("sig"))
@@ -91,16 +121,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing >=1 LSH band.
 
-    Plan shape: projection -> explode(bands) -> self-join on
-    (band_idx, band_hash) -> distinct.  The join key is a hash, so the
-    shuffle is uniform; at 10^12 docs the bucket sizes follow the true
-    duplicate-cluster distribution (heavy clusters are real duplicates,
-    which downstream keeps-one anyway).
+    Plan shape: projection -> explode(bands) -> groupBy(bucket) ->
+    in-bucket pair expansion -> distinct.  ONE aggregation shuffle on a
+    uniform hash key; signatures are computed exactly once (a naive
+    banded self-join recomputes the whole minhash projection for both
+    sides -- 2x the dominant cost).  Pair expansion is a JVM-side nested
+    transform over the bucket's sorted id list.
+
+    ``max_bucket`` caps quadratic blowup on pathological buckets (a
+    cluster of M identical docs yields M^2/2 pairs): buckets are
+    truncated to the first max_bucket ids -- beyond that the docs are
+    exact-duplicate-class anyway and are linked transitively through the
+    retained members.
     """
     rows_per_band = num_hashes // bands
+    assert num_hashes <= len(_UNIVERSAL_COEFFS), "extend _UNIVERSAL_COEFFS"
     sigs = minhash_signatures(df, text_col, num_hashes, k)
     banded = sigs.select(
         "doc_id",
@@ -124,18 +163,27 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, max_bucket).alias("ids")
+    )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("doc_a"),
+                    F.element_at(F.col("ids"), j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        buckets.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
