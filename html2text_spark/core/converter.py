@@ -43,7 +43,115 @@ from .urljoin import url_join
 
 _PLACEHOLDER_RE = re.compile(r"__PH2T__(CHAR|ENT)_([^_]+(?:_[^_]+)*?)__")
 _ENTITY_RE = re.compile(r"&(#[xX][0-9A-Fa-f]+|#[0-9]+|[A-Za-z][A-Za-z0-9]+);")
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace only, matching the reference's non-unicode /\s+/
+# (src/DataContainer.php:157)
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_WS_CHARS = ("  ", "\t", "\n", "\r", "\f", "\v")
+
+#: tags with dedicated dispatch blocks in handle_tag; any other tag is a
+#: pass-through (outside googleDoc mode) and can exit the dispatch early
+_HANDLED_TAGS = frozenset(
+    "p div br hr head style script body blockquote em i u strong b del "
+    "strike s kbd code tt abbr q a img dl dt dd ol ul li table tr td th "
+    "pre sup sub".split()
+) | frozenset("h%d" % i for i in range(1, 10))
+
+
+# ----------------------------------------------------------------------
+# fast tokenizer (regex) with strict eligibility + HTMLParser fallback
+# ----------------------------------------------------------------------
+#
+# html.parser.HTMLParser costs ~25us per tag in pure-Python dispatch.  The
+# common case -- well-formed markup with no residual entities after the
+# placeholder pre-pass -- can be tokenized ~4x faster with one compiled
+# regex.  Eligibility is checked strictly; ANY construct whose HTMLParser
+# semantics we do not replicate bit-for-bit (residual '&', CDATA sections,
+# unmatched '<', script/style bodies containing '<', exotic tag syntax)
+# aborts to the HTMLParser path for the whole document.  A differential
+# fuzz test (tests/test_fast_tokenizer.py) asserts both paths convert
+# identically on generated and fixture corpora.
+
+_FAST_TAG_RE = re.compile(
+    r"""<(?:
+          (?P<end>/)\s*(?P<ename>[a-zA-Z][a-zA-Z0-9:_.-]*)\s*>
+        | (?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)
+          (?P<attrs>(?:\s+[^\s/>=]+(?:\s*=\s*(?:"[^"]*"|'[^']*'|[^\s>]+))?)*)
+          \s*(?P<selfclose>/?)>
+        | !--(?P<comment>.*?)--\s*>
+        | !(?P<decl>[^>]*)>
+        | \?(?P<pi>[^>]*)>
+        )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+_FAST_ATTR_RE = re.compile(
+    r"""([^\s/>=]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]+))?"""
+)
+
+_CDATA_ELEMS = ("script", "style")
+
+
+def _fast_tokenize(html_text: str) -> Optional[list]:
+    """Tokenize into [(kind, payload)] events identical to HTMLParser's,
+    or None if the document is not eligible for the fast path."""
+    if "&" in html_text or "<![" in html_text:
+        return None
+    events: list = []
+    pos = 0
+    n = len(html_text)
+    lower_cache: Optional[str] = None
+    while True:
+        lt = html_text.find("<", pos)
+        if lt == -1:
+            if pos < n:
+                events.append(("data", html_text[pos:]))
+            return events
+        if lt > pos:
+            events.append(("data", html_text[pos:lt]))
+        m = _FAST_TAG_RE.match(html_text, lt)
+        if m is None:
+            return None  # exotic construct: let HTMLParser decide
+        pos = m.end()
+        if m.group("comment") is not None or m.group("decl") is not None \
+                or m.group("pi") is not None:
+            continue  # dropped, like handle_comment/decl/pi
+        if m.group("end"):
+            events.append(("end", m.group("ename").lower()))
+            continue
+        name = m.group("name").lower()
+        raw_attrs = m.group("attrs")
+        if raw_attrs:
+            attrs = _FAST_ATTR_RE.findall(raw_attrs)
+            attrs = [
+                (k, v[1:-1] if v[:1] in "\"'" else (v if v else None))
+                for k, v in attrs
+            ]
+        else:
+            attrs = []
+        selfclose = bool(m.group("selfclose"))
+        events.append(("start", name, attrs))
+        if selfclose:
+            events.append(("end", name))
+            continue
+        if name in _CDATA_ELEMS:
+            # replicate HTMLParser CDATA mode only for the simple case:
+            # raw content with no '<' up to the matching close tag
+            if lower_cache is None:
+                lower_cache = html_text.lower()
+            close = lower_cache.find("</" + name, pos)
+            if close == -1:
+                return None  # unterminated: fall back
+            content = html_text[pos:close]
+            if "<" in content:
+                return None
+            m2 = _FAST_TAG_RE.match(html_text, close)
+            if m2 is None or not m2.group("end") \
+                    or m2.group("ename").lower() != name:
+                return None
+            if content:
+                events.append(("data", content))
+            events.append(("end", name))
+            pos = m2.end()
 
 
 def _preprocess_entities(html_text: str) -> str:
@@ -159,6 +267,8 @@ class _Parser(HTMLParser):
     def _decode_attr(self, value: Optional[str]) -> Optional[str]:
         if not value:
             return value
+        if "__PH2T__" not in value:  # fast path: no entities in the value
+            return self._normalize_plain_text(value)
         result: List[str] = []
         pos = 0
         for m in _PLACEHOLDER_RE.finditer(value):
@@ -170,6 +280,9 @@ class _Parser(HTMLParser):
         return self._normalize_plain_text("".join(result))
 
     def handle_data(self, data: str) -> None:
+        if "__PH2T__" not in data:  # fast path: no entities in this run
+            self.push(self._normalize_plain_text(data))
+            return
         pos = 0
         for m in _PLACEHOLDER_RE.finditer(data):
             if m.start() > pos:
@@ -316,7 +429,8 @@ class _Parser(HTMLParser):
                 self.drop_white_space = 0
 
         if puredata and not self.pre:
-            data = _WS_RE.sub(" ", data)
+            if any(ws in data for ws in _WS_CHARS):
+                data = _WS_RE.sub(" ", data)
             if data and data[0] == " ":
                 self.space = True
                 data = data[1:]
@@ -531,6 +645,14 @@ class _Parser(HTMLParser):
                     self.tag_style = {}
                 if self.tag_stack:
                     self.parent_style = self.tag_stack[-1][2]
+
+        if tag not in _HANDLED_TAGS and not self.cfg.google_doc:
+            # unknown/pass-through tag (span, font, section, ...): none of
+            # the dispatch blocks below fire; only the ol/ul else-branch
+            # side effect remains.  (googleDoc mode must fall through:
+            # add_emphasis inspects the CSS of every element.)
+            self.last_was_list = False
+            return
 
         header_level = utils.hn(tag)
         if header_level > 0:
@@ -1008,13 +1130,26 @@ def optwrap(text: str, cfg: Config, state: Optional[WrapState] = None) -> str:
                 elif para.startswith("> "):
                     # blockquote continuation: prefix '>' on new lines
                     indent = "> "
-                wrapped = textwrap.wrap(
-                    para,
-                    cfg.body_width,
-                    break_long_words=False,
-                    subsequent_indent=indent,
-                )
-                result.append("\n".join(wrapped))
+                if (
+                    len(para) <= cfg.body_width
+                    and para == para.strip()
+                    and "\t" not in para
+                    and "\x0b" not in para
+                    and "\x0c" not in para
+                    and "\r" not in para
+                ):
+                    # fits on one line and textwrap would return it
+                    # verbatim (no edge whitespace to drop, no tabs to
+                    # expand) -- skip the chunk-splitting machinery
+                    result.append(para)
+                else:
+                    wrapped = textwrap.wrap(
+                        para,
+                        cfg.body_width,
+                        break_long_words=False,
+                        subsequent_indent=indent,
+                    )
+                    result.append("\n".join(wrapped))
                 if para.endswith("  "):
                     result.append("  \n")
                     state.newlines = 1
@@ -1041,6 +1176,31 @@ def optwrap(text: str, cfg: Config, state: Optional[WrapState] = None) -> str:
 # ----------------------------------------------------------------------
 
 
+#: test hook: force the HTMLParser path (differential fuzzing)
+_FORCE_FALLBACK = False
+
+
+def _feed_document(parser: "_Parser", processed: str) -> None:
+    """Feed one complete pre-processed document: fast regex tokenizer when
+    eligible, html.parser.HTMLParser otherwise (identical event streams --
+    see _fast_tokenize)."""
+    events = None if _FORCE_FALLBACK else _fast_tokenize(processed)
+    if events is None:
+        parser.feed(processed)
+        return
+    handle_data = parser.handle_data
+    handle_tag = parser.handle_tag
+    attr_dict = parser._attr_dict
+    for ev in events:
+        kind = ev[0]
+        if kind == "data":
+            handle_data(ev[1])
+        elif kind == "start":
+            handle_tag(ev[1], attr_dict(ev[2]), start=True)
+        else:
+            handle_tag(ev[1], {}, start=False)
+
+
 def convert(html_text: str, cfg: Optional[Config] = None) -> str:
     """Convert one HTML document to markdown-formatted plain text."""
     cfg = cfg or Config()
@@ -1048,7 +1208,7 @@ def convert(html_text: str, cfg: Optional[Config] = None) -> str:
     if not html_text:
         return ""
     parser = _Parser(cfg)
-    parser.feed(_preprocess_entities(html_text))
+    _feed_document(parser, _preprocess_entities(html_text))
     parser.close()
     result = optwrap(parser.finish(), cfg)
     if cfg.pad_tables:
@@ -1099,9 +1259,15 @@ def convert_spans(
             ref = parser.media_refs.pop(0)
             ordered_media.append((ref.media_ref, ref.segment))
 
+    multi_fragment = sum(1 for k, _t, _m in spans if k == "html") > 1
     for kind, text, media in spans:
         if kind == "html":
-            parser.feed(_preprocess_entities(text))
+            if multi_fragment:
+                # fragments may split mid-tag; HTMLParser's incremental
+                # buffer handles that, the fast tokenizer does not
+                parser.feed(_preprocess_entities(text))
+            else:
+                _feed_document(parser, _preprocess_entities(text))
         elif kind == "media":
             # flush the pending paragraph break so the segment ends on a
             # clean line boundary before the media asset

@@ -140,15 +140,30 @@ def escape_md(text: str) -> str:
     return constants.RE_MD_CHARS_MATCHER.sub(r"\\\1", text)
 
 
+_RE_MD_LINE_MARKER = re.compile(
+    # one pass over the three line-leading list/hr lookalikes
+    # (dot: "N." before space; plus: "+" before space; dash: "-" before
+    # space or another dash) -- same replacements as the three separate
+    # reference regexes, fused for speed
+    r"^(\s*)(\d+\.(?=\s)|\+(?=\s)|-(?=\s|-))",
+    re.MULTILINE,
+)
+
+
+def _line_marker_repl(m: "re.Match") -> str:
+    body = m.group(2)
+    if body[0].isdigit():  # "N." -> "N\."
+        return m.group(1) + body[:-1] + "\\."
+    return m.group(1) + "\\" + body
+
+
 def escape_md_section(text: str, snob: bool = False) -> str:
     """Escape markdown-sensitive chars across whole document sections."""
-    text = constants.RE_MD_BACKSLASH_MATCHER.sub(r"\\\1", text)
+    if "\\" in text:
+        text = constants.RE_MD_BACKSLASH_MATCHER.sub(r"\\\1", text)
     if snob:
         text = constants.RE_MD_CHARS_MATCHER_ALL.sub(r"\\\1", text)
-    text = constants.RE_MD_DOT_MATCHER.sub(r"\1\\\2", text)
-    text = constants.RE_MD_PLUS_MATCHER.sub(r"\1\\\2", text)
-    text = constants.RE_MD_DASH_MATCHER.sub(r"\1\\\2", text)
-    return text
+    return _RE_MD_LINE_MARKER.sub(_line_marker_repl, text)
 
 
 def reformat_table(lines: List[str], right_margin: int) -> List[str]:

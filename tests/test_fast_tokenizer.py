@@ -1,0 +1,109 @@
+"""Differential test: the fast regex tokenizer must convert every document
+identically to the HTMLParser fallback path (it aborts to the fallback on
+anything it cannot replicate bit-for-bit)."""
+
+import random
+
+import pytest
+
+import html2text_spark.core.converter as C
+from html2text_spark.core.config import Config
+from html2text_spark.fixtures import ERROR_FIXTURES, iter_fixtures
+
+
+def _both_paths(html, cfg=None):
+    fast = C.convert(html, cfg)
+    C._FORCE_FALLBACK = True
+    try:
+        slow = C.convert(html, cfg)
+    finally:
+        C._FORCE_FALLBACK = False
+    return fast, slow
+
+
+def test_fixture_corpus_differential():
+    for name, html, _expected, cfg in iter_fixtures():
+        if name in ERROR_FIXTURES:
+            continue
+        fast, slow = _both_paths(html, cfg)
+        assert fast == slow, f"fast/slow divergence on fixture {name}"
+
+
+_TAGS = ["p", "div", "b", "i", "em", "span", "ul", "li", "ol", "pre", "code",
+         "blockquote", "h1", "h2", "table", "tr", "td", "a", "q", "abbr"]
+_WORDS = ["alpha", "beta", "gamma", "x<y", "a&b", "&amp;", "&#65;", "&bogus;",
+          "tail  space", "nb sp", "-dash-", "1. list", "* star"]
+
+
+def _random_html(rng: random.Random, depth: int = 0) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 6)):
+        roll = rng.random()
+        if roll < 0.4 or depth > 3:
+            parts.append(rng.choice(_WORDS))
+        elif roll < 0.5:
+            parts.append("<!-- %s -->" % rng.choice(_WORDS))
+        elif roll < 0.55:
+            parts.append("<br/>")
+        elif roll < 0.6:
+            src = "img%d.png" % rng.randint(0, 9)
+            parts.append('<img src="%s" alt="a%d">' % (src, rng.randint(0, 9)))
+        else:
+            tag = rng.choice(_TAGS)
+            attrs = ""
+            if tag == "a":
+                attrs = ' href="http://e.com/%d"' % rng.randint(0, 99)
+            elif rng.random() < 0.3:
+                attrs = " class=c%d style='color: red'" % rng.randint(0, 3)
+            inner = _random_html(rng, depth + 1)
+            closer = "</%s>" % tag if rng.random() < 0.9 else ""  # broken nesting
+            parts.append("<%s%s>%s%s" % (tag, attrs, inner, closer))
+    return " ".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_differential(seed):
+    rng = random.Random(seed)
+    html = _random_html(rng)
+    fast, slow = _both_paths(html)
+    assert fast == slow, f"divergence seed={seed}\nhtml={html!r}"
+
+
+@pytest.mark.parametrize(
+    "html",
+    [
+        "<p>no tags at all",
+        "plain text only",
+        "<SCRIPT>var x = 1;</SCRIPT>after",
+        "<script>if (a < b) {}</script>after",  # '<' in script -> fallback
+        "<style>p { color: red }</style><p class=x>body</p>",
+        "<p>unterminated <b>bold",
+        "<div><p>a</div></p>",
+        "<p>a<p>b<p>c",
+        "<td>stray</td>",
+        "<!DOCTYPE html><html><body><p>hi</p></body></html>",
+        "<?php echo 1; ?><p>x</p>",
+        "<p>a < b and c > d</p>",
+        "<img src=unquoted/ alt=x><p>after</p>",
+        "<p attr='val>with gt'>t</p>",
+        "<a href='x'><h2>header in link</h2></a>",
+    ],
+)
+def test_tricky_cases_differential(html):
+    fast, slow = _both_paths(html)
+    assert fast == slow
+
+
+def test_fast_path_actually_taken():
+    events = C._fast_tokenize("<p>hello <b>world</b></p>")
+    assert events is not None
+    kinds = [e[0] for e in events]
+    assert kinds == ["start", "data", "start", "data", "end", "end"]
+
+
+def test_fallback_on_residual_ampersand():
+    assert C._fast_tokenize("<p>a & b</p>") is None
+
+
+def test_fallback_on_cdata_section():
+    assert C._fast_tokenize("<p><![CDATA[x]]></p>") is None
