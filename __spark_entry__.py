@@ -214,9 +214,24 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hyperplane table is generated Python-side -> rows-only check;
-    # recall vs brute force is asserted in tests
+    # oracle mirrors the deterministic hyperplane table as SQL literals
     return S.lsh_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5, n_planes=6)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs; duplicates planted by unioning a
+    lightly-perturbed copy of the embedding table."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    near = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.001)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(near)
+    return S.embedding_near_dups(corpus, threshold=0.9, n_planes=6)
 
 
 # ----------------------------------------------------------------------
@@ -243,6 +258,46 @@ def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
     done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     return resume_filter(docs, done)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the batch
+    shape of the streaming rollup; order-independent aggregates only, so
+    the float min/max compare exactly against the oracle)."""
+    events = _spread(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("events"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.min("value"), 8).alias("min_value"),
+        F.round(F.max("value"), 8).alias("max_value"),
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: keep canonical (exact-dedup) docs
+    whose quality score clears a bar, count survivors per language.
+    Exercises window + join + filter + aggregate in one plan."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "text")
+    copy = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+    )
+    labeled = D.exact_dedup(base.unionAll(copy))
+    quality = T.quality_score(docs)
+    survivors = (
+        labeled.filter(F.col("is_canonical"))
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_words").alias("kept_words"),
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,6 +328,9 @@ def queries() -> dict[str, _Q]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "events_hourly": q_events_hourly,
+        "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
         "multimodal_features": q_multimodal_features,
@@ -317,6 +375,32 @@ def _lang_scores_sql() -> str:
             f"len(regexp_extract_all(lower(text), '{pat}')) as score_{lang}"
         )
     return ", ".join(parts)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), 'sum')"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum'))"
+
+
+def _bucket_sql(emb_expr: str, n_planes: int = 6) -> str:
+    """LSH sign-bucket expression with the hyperplane table inlined as SQL
+    literals (mirrors operators.similarity.lsh_bucket exactly: same plane
+    values via repr round-trip, same left-fold dot product)."""
+    from html2text_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=7)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(case when {_dot_sql(emb_expr, lit)} >= 0 then {1 << i} else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -450,6 +534,68 @@ select doc_id,
 from w
 """,
         "sim_cosine_topk": cosine,
+        "sim_lsh_topk": f"""
+with e as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
+ h as (select vec_id, emb, {_bucket_sql('emb')} as bucket from e),
+ q as (select vec_id as qid, emb as qe, bucket as qb from h where vec_id in (0,1,2,3,4)),
+ probes as (select qid, qe,
+            unnest([qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8), xor(qb,16), xor(qb,32)]) as probe
+            from q),
+ sims as (
+   select qid, h.vec_id,
+     round({_dot_sql('qe', 'h.emb')} / ({_norm_sql('qe')} * {_norm_sql('h.emb')}), 8) as sim
+   from probes join h on h.bucket = probes.probe and h.vec_id != probes.qid)
+select qid, vec_id, sim,
+       row_number() over (partition by qid order by sim desc, vec_id asc) as rank
+from sims qualify rank <= 5
+""",
+        "dedup_embedding": f"""
+with e0 as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
+ corpus as (select vec_id, emb from e0
+            union all
+            select vec_id + 1000000, list_transform(emb, x -> x * 1.001) from e0),
+ h as (select vec_id, emb, {_bucket_sql('emb')} as bucket from corpus)
+select l.vec_id as doc_a, r.vec_id as doc_b,
+  round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) as sim
+from h l join h r on l.bucket = r.bucket and l.vec_id < r.vec_id
+where round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) >= 0.9
+""",
+        "events_hourly": """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as events,
+       count(distinct user_id) as users,
+       round(min(value), 8) as min_value,
+       round(max(value), 8) as max_value
+from events group by 1, 2
+""",
+        "corpus_curation": f"""
+with docs as (select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents where doc_id % 3 = 0),
+ canon as (select doc_id,
+           doc_id = min(doc_id) over (partition by md5(text)) as is_canonical
+           from docs),
+ t as (
+  select doc_id,
+    len(string_split_regex(trim(text), '\\s+'))::DOUBLE as n_words,
+    length(text)::DOUBLE as n_chars,
+    len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE as n_punct,
+    len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}'))::DOUBLE as n_stop
+  from documents),
+ qual as (
+  select doc_id, n_words::BIGINT as n_words,
+    round(0.4 * least(n_words / 100.0, 1.0)
+        + least(0.3, 0.3 * (case when n_words > 0 then n_stop / n_words else 0.0 end) * 5.0)
+        + 0.3 * greatest(0.0, 1.0 - least(1.0,
+            (case when n_chars > 0 then n_punct / n_chars else 0.0 end) * 10.0)), 8) as quality
+  from t)
+select d.lang, count(*) as kept_docs, sum(q.n_words) as kept_words
+from canon c
+join qual q on q.doc_id = c.doc_id
+join documents d on d.doc_id = c.doc_id
+where c.is_canonical and q.quality >= 0.5
+group by d.lang
+""",
         "metrics_by_lang": """
 select lang, count(*) as docs,
        sum(octet_length(text::BLOB))::BIGINT as bytes_total,

@@ -236,23 +236,32 @@ def simhash64(
     """
     import hashlib
 
+    import numpy as np
+
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         def one(text):
-            if text is None:
+            if not text:
                 return 0
-            votes = [0] * 64
-            for tok in text.split():
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8],
-                    "big",
-                )
-                for bit in range(64):
-                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            toks = text.split()
+            if not toks:
+                return 0
+            # vectorized bit votes: md5[:8] per token -> (n_tokens, 64)
+            # bit matrix -> per-bit sums (numpy, no 64x python loop)
+            digest_rows = np.frombuffer(
+                b"".join(
+                    hashlib.md5(t.encode("utf-8", "ignore")).digest()[:8]
+                    for t in toks
+                ),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            bits = np.unpackbits(digest_rows, axis=1)  # big-endian bit order
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
             out = 0
-            for bit in range(64):
-                if votes[bit] > 0:
-                    out |= 1 << bit
+            # bit index: int.from_bytes(...,'big') bit b == unpackbits
+            # column 63-b, so walk columns MSB-first
+            for col_bit in np.nonzero(votes > 0)[0]:
+                out |= 1 << (63 - int(col_bit))
             # two's-complement into signed 64-bit
             return out - (1 << 64) if out >= (1 << 63) else out
 

@@ -97,6 +97,50 @@ def lsh_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, sim >= t).
+
+    Scale path: both sides hashed to LSH sign buckets (one projection),
+    candidates = pairs sharing a bucket (equi-join on the bucket key, one
+    uniform shuffle), exact cosine verified on candidates only.  Two
+    vectors with cosine >= 0.9 agree on each hyperplane with high
+    probability, so recall is high for true near-dups while the join
+    touches ~1/2^n_planes of all pairs.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    hashed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    l, r = hashed.alias("l"), hashed.alias("r")
+    sim = F.round(
+        _dot(F.col("l.e"), F.col("r.e"))
+        / (_norm(F.col("l.e")) * _norm(F.col("r.e"))),
+        8,
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("doc_a"),
+            F.col("r.vec_id").alias("doc_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

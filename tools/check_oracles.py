@@ -35,6 +35,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.map(lambda v: str(list(v)))
         elif s.dtype.kind in "iuf":
             df[c] = s.astype("float64")
+        elif s.dtype.kind == "M":  # datetimes: compare as ISO strings
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
     return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
