@@ -177,7 +177,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bit-vote loop is a pandas UDF -> rows-only check
+    # Spark side is a numpy pandas UDF; the oracle reproduces the same
+    # per-bit majority vote in pure SQL (_simhash_sql)
     return D.simhash64(_docs(spark, sf_dir))
 
 
@@ -403,6 +404,32 @@ def _bucket_sql(emb_expr: str, n_planes: int = 6) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _simhash_sql() -> str:
+    """SimHash64 mirrored in SQL: per-token md5[:8] big-endian hash,
+    per-bit majority vote (ones*2 > n == votes > 0), reassembled as a
+    signed 64-bit value -- exactly operators.dedup.simhash64."""
+    bit_counts = ", ".join(
+        f"sum(((h >> {b}) & 1)::INT) as c{b}" for b in range(64)
+    )
+    combine = " + ".join(
+        f"(case when c{b}*2 > n then {1 << b}::UBIGINT else 0::UBIGINT end)"
+        for b in range(64)
+    )
+    return f"""
+with w as (select doc_id, trim(text) as t from documents),
+ t as (select doc_id, unnest(string_split_regex(t, '\\s+')) as tok
+       from w where t != ''),
+ h as (select doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT as h from t),
+ agg as (select doc_id, count(*) as n, {bit_counts} from h group by doc_id),
+ s as (select doc_id, ({combine})::UBIGINT as u from agg)
+select w.doc_id,
+  coalesce(case when s.u >= 9223372036854775808::UBIGINT
+                then ((s.u::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT
+                else s.u::BIGINT end, 0) as simhash
+from w left join s using (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     langs = sorted(T.LANG_MARKERS.items())
     best = "greatest(" + ", ".join(f"score_{l}" for l, _ in langs) + ")"
@@ -513,6 +540,7 @@ from g a join g b on a.source = b.source and a.doc_id < b.doc_id
 where round(len(list_intersect(a.grams, b.grams))::DOUBLE
       / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 8) >= 0.05
 """,
+        "dedup_simhash": _simhash_sql(),
         "text_tokens": f"""
 select doc_id,
   len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}'))::INT as n_tokens,

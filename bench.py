@@ -147,14 +147,17 @@ def main() -> int:
     full = _extraction_bench(spark, corpus_dir, CPUS)
     spark.stop()
 
+    # best-of-3 on the scaling pair: this box carries background load
+    # spikes that can poison a whole phase (observed 2x swings); the
+    # efficiency ratio needs both levels measured clean
     spark_h = _session(n_high)
     spark_h.sparkContext.setLogLevel("ERROR")
-    high = _extraction_bench(spark_h, corpus_dir, n_high)
+    high = _extraction_bench(spark_h, corpus_dir, n_high, runs=3)
     spark_h.stop()
 
     spark_l = _session(n_low)
     spark_l.sparkContext.setLogLevel("ERROR")
-    low = _extraction_bench(spark_l, corpus_dir, n_low)
+    low = _extraction_bench(spark_l, corpus_dir, n_low, runs=3)
     spark_l.stop()
 
     efficiency = round(

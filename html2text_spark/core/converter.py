@@ -1095,6 +1095,49 @@ def _is_punctuation(ch: str) -> bool:
 # ----------------------------------------------------------------------
 
 
+def _fast_wrap(para: str, width: int, indent: str) -> List[str]:
+    """Greedy wrap, byte-identical to textwrap.wrap(break_long_words=False,
+    subsequent_indent=indent) for the eligible subset: single-space word
+    separators, no hyphens (textwrap's wordsep/em-dash machinery never
+    fires), no edge/control whitespace.  Caller checks eligibility."""
+    words = para.split(" ")
+    lines: List[str] = []
+    cur: List[str] = []
+    cur_len = 0
+    avail = width
+    for word in words:
+        add = len(word) + 1 if cur else len(word)
+        if not cur or cur_len + add <= avail:
+            cur.append(word)
+            cur_len += add
+        else:
+            lines.append(" ".join(cur))
+            avail = width - len(indent)
+            cur = [word]
+            cur_len = len(word)
+    if cur:
+        lines.append(" ".join(cur))
+    if indent:
+        lines = lines[:1] + [indent + line for line in lines[1:]]
+    return lines
+
+
+def _wrap_para(para: str, width: int, indent: str) -> List[str]:
+    if (
+        "-" not in para
+        and "  " not in para
+        and para == para.strip()
+        and "\t" not in para
+        and "\x0b" not in para
+        and "\x0c" not in para
+        and "\r" not in para
+    ):
+        return _fast_wrap(para, width, indent)
+    return textwrap.wrap(
+        para, width, break_long_words=False, subsequent_indent=indent
+    )
+
+
 @dataclass
 class WrapState:
     """optwrap carry-over so interleaved segments wrap like one document."""
@@ -1143,12 +1186,7 @@ def optwrap(text: str, cfg: Config, state: Optional[WrapState] = None) -> str:
                     # expand) -- skip the chunk-splitting machinery
                     result.append(para)
                 else:
-                    wrapped = textwrap.wrap(
-                        para,
-                        cfg.body_width,
-                        break_long_words=False,
-                        subsequent_indent=indent,
-                    )
+                    wrapped = _wrap_para(para, cfg.body_width, indent)
                     result.append("\n".join(wrapped))
                 if para.endswith("  "):
                     result.append("  \n")

@@ -107,3 +107,44 @@ def test_fallback_on_residual_ampersand():
 
 def test_fallback_on_cdata_section():
     assert C._fast_tokenize("<p><![CDATA[x]]></p>") is None
+
+
+# ----------------------------------------------------------------------
+# fast wrapper differential (vs textwrap)
+# ----------------------------------------------------------------------
+
+import textwrap
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po")),
+    min_size=1,
+    max_size=14,
+).filter(lambda w: "-" not in w and not w.isspace())
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    words=st.lists(_word, min_size=1, max_size=40),
+    width=st.integers(min_value=4, max_value=80),
+    indent=st.sampled_from(["", "    ", "> "]),
+)
+def test_fast_wrap_matches_textwrap(words, width, indent):
+    para = " ".join(words)
+    if para != para.strip() or "  " in para or "-" in para:
+        return
+    expected = textwrap.wrap(
+        para, width, break_long_words=False, subsequent_indent=indent
+    )
+    assert C._fast_wrap(para, width, indent) == expected, (para, width, indent)
+
+
+def test_wrap_para_dispatches_hyphens_to_textwrap():
+    # hyphenated text must take the textwrap path (hyphen-aware breaks)
+    para = "a long hyphen-separated-word sequence " * 4
+    out = C._wrap_para(para.strip(), 20, "")
+    expected = textwrap.wrap(
+        para.strip(), 20, break_long_words=False, subsequent_indent=""
+    )
+    assert out == expected

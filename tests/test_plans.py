@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB
+must actually appear in the executed plan (a correct-but-wrong-plan
+operator is a regression even when values match)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extraction_is_shuffle_free(spark):
+    """Without salting, extraction is a pure narrow plan: no Exchange."""
+    from html2text_spark.pipeline import extract
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from html2text_spark.sources import adapt_flat_documents
+
+    plan = _plan(extract(adapt_flat_documents(docs)))
+    assert "Exchange" not in plan
+
+
+def test_flat_adapter_prunes_scan_columns(spark):
+    """adapt_flat_documents must let Catalyst prune the parquet scan to
+    (doc_id, text) -- reading lang/source/n_chars for a 2-column wrap
+    would waste IO on every document at corpus scale."""
+    from html2text_spark.sources import adapt_flat_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(adapt_flat_documents(docs))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "doc_id" in line and "text" in line
+    assert "lang" not in line and "n_chars" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A doc_id predicate above the span-adapter projection must still be
+    pushed into the parquet scan."""
+    from html2text_spark.sources import adapt_flat_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = adapt_flat_documents(docs).filter(F.col("doc_id") == "42")
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "doc_id" in pushed[0], plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from html2text_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, [0, 1, 2], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_metrics_by_lang_uses_broadcast_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_metrics_by_lang(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_candidates_single_agg_shuffle(spark):
+    """The LSH candidate plan must shuffle once for the bucket groupBy
+    (plus the sandbox _spread repartition) -- no join-driven recompute of
+    the signature projection."""
+    from html2text_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(minhash_lsh_candidates(docs))
+    # hashpartitioning exchanges: one for groupBy partial/final, one for
+    # the final distinct -- and critically no SortMergeJoin
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_resume_anti_join_shape(spark):
+    from html2text_spark.checkpoint import resume_filter
+    from html2text_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 30, seed=11)
+    done = docs.limit(10).select("doc_id")
+    plan = _plan(resume_filter(docs, done))
+    assert "LeftAnti" in plan
