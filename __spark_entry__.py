@@ -64,14 +64,20 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HTML->markdown span extraction over sf0.001 documents."""
     docs = _docs(spark, "/root/testdata/sf0.001")
     extracted = extract(adapt_flat_documents(docs), salt_partitions=8)
-    return extracted.join(
-        text_of(extracted).withColumnRenamed("doc_id", "d2"),
-        F.col("doc_id") == F.col("d2"),
-    ).select(
+    # markdown preview derived from the spans column in the same
+    # projection (a self-join here would run the extraction twice)
+    markdown = F.concat_ws(
+        "",
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+    )
+    return extracted.select(
         "doc_id",
         "spans",
         "metrics",
-        F.substring("markdown", 1, 120).alias("markdown_head"),
+        F.substring(markdown, 1, 120).alias("markdown_head"),
     )
 
 

@@ -1297,12 +1297,24 @@ def convert_spans(
             ref = parser.media_refs.pop(0)
             ordered_media.append((ref.media_ref, ref.segment))
 
+    # coalesce runs of consecutive html spans: a fragment boundary is only
+    # meaningful where a media span sits between them (feeding fragments
+    # separately would let tokenizer-buffer chunking interact with the
+    # stressed/whitespace state machine and break invariant 1)
+    coalesced: List[Tuple[str, str, str]] = []
+    for kind, text, media in spans:
+        if kind == "html" and coalesced and coalesced[-1][0] == "html":
+            coalesced[-1] = ("html", coalesced[-1][1] + text, "")
+        else:
+            coalesced.append((kind, text, media))
+    spans = coalesced
     multi_fragment = sum(1 for k, _t, _m in spans if k == "html") > 1
     for kind, text, media in spans:
         if kind == "html":
             if multi_fragment:
-                # fragments may split mid-tag; HTMLParser's incremental
-                # buffer handles that, the fast tokenizer does not
+                # fragments may split mid-tag across a media boundary;
+                # HTMLParser's incremental buffer handles that, the fast
+                # tokenizer does not
                 parser.feed(_preprocess_entities(text))
             else:
                 _feed_document(parser, _preprocess_entities(text))

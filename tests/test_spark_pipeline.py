@@ -174,3 +174,25 @@ def test_salt_by_size_plan_is_single_exchange(spark):
     docs = synthetic_documents(spark, 10, seed=1)
     plan = extract(docs, salt_partitions=8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_fragmented_html_spans_coalesce(spark):
+    """Consecutive html spans (split mid-tag, mid-word) must convert
+    exactly like the contiguous document."""
+    from html2text_spark.core.converter import convert
+
+    full_html = "<p>first part <b>bold</b> rest</p><ul><li>a</li><li>b</li></ul>"
+    rows = [
+        (
+            "frag",
+            [
+                {"kind": "html", "text": "<p>first part <b>bo", "media_ref": "", "offset": 0},
+                {"kind": "html", "text": "ld</b> rest</p><ul><li>a</li><l", "media_ref": "", "offset": 1},
+                {"kind": "html", "text": "i>b</li></ul>", "media_ref": "", "offset": 2},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    row = extract(df).collect()[0]
+    concat = "".join(s["text"] for s in row["spans"] if s["kind"] == "text")
+    assert concat == convert(full_html)
