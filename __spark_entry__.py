@@ -29,7 +29,7 @@ from html2text_spark.sources import adapt_flat_documents
 
 _Q = Callable[[SparkSession, str], DataFrame]
 
-TOKEN_PATTERN_SQL = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+TOKEN_PATTERN_SQL = T.TOKEN_PATTERN  # same literal as the Spark side
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -108,7 +108,6 @@ def q_extract_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved doc: html + media + html spans; media must pass through
     in order as media_ref spans."""
     docs = _docs(spark, sf_dir)
-    half = (F.length("text") / 2).cast("int")
     interleaved = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(
@@ -422,9 +421,8 @@ def _simhash_sql() -> str:
         for b in range(64)
     )
     return f"""
-with w as (select doc_id, trim(text) as t from documents),
- t as (select doc_id, unnest(string_split_regex(t, '\\s+')) as tok
-       from w where t != ''),
+with w as (select doc_id, text from documents),
+ t as (select doc_id, unnest(regexp_extract_all(text, '\\S+')) as tok from w),
  h as (select doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT as h from t),
  agg as (select doc_id, count(*) as n, {bit_counts} from h group by doc_id),
  s as (select doc_id, ({combine})::UBIGINT as u from agg)

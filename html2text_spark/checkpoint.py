@@ -73,12 +73,44 @@ def run_extraction_checkpointed(
     buckets_per_wave: Optional[int] = None,
     input_lineage: str = "",
 ) -> dict:
-    """Run (or resume) a bucketed extraction with per-bucket manifests."""
+    """Run (or resume) a bucketed extraction with per-bucket manifests.
+
+    Raises ValueError when resuming into an output directory whose run
+    metadata (bucket count, config fingerprint, input lineage) does not
+    match -- mixing incompatible bucketings would silently drop or
+    duplicate documents.
+    """
     os.makedirs(os.path.join(output_path, "_manifests"), exist_ok=True)
+    fingerprint = _config_fingerprint(cfg)
+    run_meta_path = os.path.join(output_path, "_manifests", "_run.json")
+    run_meta = {
+        "num_buckets": num_buckets,
+        "config_fingerprint": fingerprint,
+        "input": input_lineage,
+        "code_version": CODE_VERSION,
+    }
+    if os.path.exists(run_meta_path):
+        with open(run_meta_path) as f:
+            existing = json.load(f)
+        mismatches = {
+            k: (existing.get(k), v)
+            for k, v in run_meta.items()
+            if k != "code_version" and existing.get(k) != v
+        }
+        if mismatches:
+            raise ValueError(
+                "refusing to resume into %s: run parameters changed %r"
+                % (output_path, mismatches)
+            )
+    else:
+        tmp = run_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(run_meta, f)
+        os.replace(tmp, run_meta_path)
+
     done = set(completed_buckets(output_path))
     todo = [b for b in range(num_buckets) if b not in done]
     buckets_per_wave = buckets_per_wave or max(1, len(todo))
-    fingerprint = _config_fingerprint(cfg)
     data_root = os.path.join(output_path, "data")
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -97,21 +129,26 @@ def run_extraction_checkpointed(
             )
             wall = time.time() - t0
             # per-bucket metrics recomputed from the committed output
-            # (exactly-once), one scan for the whole wave
-            stats_rows = (
-                spark.read.parquet(data_root)
-                .filter(F.col("bucket").isin(wave))
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("docs"),
-                    F.sum("metrics.spans").alias("spans_total"),
-                    F.sum("metrics.bytes_in").alias("bytes_in_total"),
-                    F.sum(F.col("metrics.malformed").cast("int")).alias(
-                        "malformed_docs"
-                    ),
+            # (exactly-once), one scan for the whole wave; a wave whose
+            # buckets held no documents writes no files at all -- record
+            # empty manifests rather than failing the schema inference
+            try:
+                stats_rows = (
+                    spark.read.parquet(data_root)
+                    .filter(F.col("bucket").isin(wave))
+                    .groupBy("bucket")
+                    .agg(
+                        F.count("*").alias("docs"),
+                        F.sum("metrics.spans").alias("spans_total"),
+                        F.sum("metrics.bytes_in").alias("bytes_in_total"),
+                        F.sum(F.col("metrics.malformed").cast("int")).alias(
+                            "malformed_docs"
+                        ),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
+            except Exception:
+                stats_rows = []
             stats_by_bucket = {r["bucket"]: r.asDict() for r in stats_rows}
             for bucket in wave:
                 stats = stats_by_bucket.get(

@@ -112,7 +112,13 @@ def _fast_tokenize(html_text: str) -> Optional[list]:
         if m is None:
             return None  # exotic construct: let HTMLParser decide
         pos = m.end()
-        if m.group("comment") is not None or m.group("decl") is not None \
+        decl = m.group("decl")
+        if decl is not None and decl.startswith("--"):
+            # '<!--' without a well-formed '-->' (e.g. '<!-->'): HTMLParser
+            # treats these as unterminated-comment lookalikes with their
+            # own recovery rules -- fall back rather than guess
+            return None
+        if m.group("comment") is not None or decl is not None \
                 or m.group("pi") is not None:
             continue  # dropped, like handle_comment/decl/pi
         if m.group("end"):
@@ -1328,8 +1334,7 @@ def convert_spans(
             ordered_media.append((media, parser.segment))
             parser.segment += 1
     parser.close()
-    raw_end = len(parser.outtextlist)
-    parser.finish_tail = parser.finish()  # appends final chunks
+    parser.finish()  # appends the final chunks to outtextlist
     _drain_img_refs()
 
     chunks = parser.outtextlist

@@ -235,15 +235,21 @@ def simhash64(
     hashes keep it deterministic across executors and runs.
     """
     import hashlib
+    import re as _re
 
     import numpy as np
+
+    # token split mirrors the SQL oracle's RE2 semantics exactly:
+    # RE2 \\S == [^\\t\\n\\f\\r ] (ASCII), unlike Python str.split()
+    # which also splits on unicode whitespace
+    token_re = _re.compile(r"[^\t\n\f\r ]+")
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         def one(text):
             if not text:
                 return 0
-            toks = text.split()
+            toks = token_re.findall(text)
             if not toks:
                 return 0
             # vectorized bit votes: md5[:8] per token -> (n_tokens, 64)

@@ -148,30 +148,25 @@ def make_extract_fn(cfg: Optional[Config] = None):
     return extract_batches
 
 
-def salt_by_size(
-    df: DataFrame, num_partitions: int, size_col_expr=None
-) -> DataFrame:
-    """Spread documents across partitions by a size-aware salt.
+def salt_by_size(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Spread documents uniformly across partitions (skew defusal).
 
-    Large-document skew defusal (north_rule): hash on doc_id alone would
-    co-locate by chance; range-partitioning on total html length pairs the
-    monsters together in the *same* partitions.  Instead we interleave:
-    sort-key = (size_bucket, xxhash64(doc_id)) round-robined over
-    num_partitions so every partition receives the same mix of large and
-    small documents.
+    Large-document skew defusal (north_rule): the input's physical layout
+    may cluster large documents (crawl order, source grouping);
+    range-partitioning on size would make it worse by pairing the
+    monsters together.  A full-range hash salt places every document
+    uniformly at random, which bounds per-partition byte skew to
+    O(sqrt(docs_per_partition)) regardless of the input layout and keeps
+    the expected monster count equal per partition.
+
+    NB the salt must be the *raw* 64-bit hash: pre-modding it to
+    num_partitions values and hashing again would throw balls-in-bins
+    (~37% of partitions empty, others 2-3x loaded).
     """
-    if size_col_expr is None:
-        size_col_expr = F.aggregate(
-            "spans", F.lit(0), lambda acc, s: acc + F.length(s["text"])
-        )
-    salted = df.withColumn("_sz", size_col_expr).withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64("doc_id") + F.pmod(F.col("_sz"), F.lit(num_partitions)),
-            F.lit(num_partitions),
-        ),
+    salted = df.withColumn(
+        "_salt", F.xxhash64("doc_id", F.lit(num_partitions))
     )
-    return salted.repartition(num_partitions, "_salt").drop("_sz", "_salt")
+    return salted.repartition(num_partitions, "_salt").drop("_salt")
 
 
 def extract(

@@ -77,7 +77,7 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(spark_pd):6d} rows "
                   f"({t_spark:.1f}s spark)  [no oracle]")
-            if len(spark_pd) == 0 and name != "extract_markdown":
+            if len(spark_pd) == 0:
                 failures.append((name, "0 rows in rows-only query"))
             continue
         t1 = time.time()
