@@ -306,6 +306,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (batch shape; the
+    streaming twin via applyInPandasWithState is tested for equivalence
+    in tests/test_operators.py)."""
+    from html2text_spark.streaming.sessions import sessionize_batch
+
+    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    return sessionize_batch(events, gap_minutes=30)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_fake_media(_docs(spark, sf_dir))
     feats = M.extract_media_features(media)
@@ -336,6 +346,7 @@ def queries() -> dict[str, _Q]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -591,6 +602,20 @@ select l.vec_id as doc_a, r.vec_id as doc_b,
   round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) as sim
 from h l join h r on l.bucket = r.bucket and l.vec_id < r.vec_id
 where round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) >= 0.9
+""",
+        "events_sessions": """
+with b as (
+  select user_id, ts,
+    case when lag(ts) over (partition by user_id order by ts) is null
+          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
+         then 1 else 0 end as boundary
+  from events),
+ s as (select user_id, ts,
+       sum(boundary) over (partition by user_id order by ts
+                           rows unbounded preceding) as sidx from b)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+       count(*)::INT as events
+from s group by user_id, sidx
 """,
         "events_hourly": """
 select date_trunc('hour', ts) as hour, event_type,

@@ -1,0 +1,143 @@
+"""Custom stateful streaming operator: event sessionization.
+
+Beyond the extraction pipeline (which is stateless per document), a
+training-data platform ingests interaction/event streams.  This module
+sessionizes an event stream with ``applyInPandasWithState``: events for a
+user belong to one session until a gap larger than ``gap`` passes; the
+state survives across micro-batches and sessions are emitted when they
+time out.
+
+Batch shape (same grouping semantics, no state machinery needed) is
+provided by ``sessionize_batch`` for verification: for a static input the
+streaming operator must emit exactly the sessions the batch computation
+derives with window functions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("events", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("events", IntegerType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization with window functions (the verification shape).
+
+    session boundary = gap since previous event of the same user exceeds
+    ``gap_minutes``; classic lag + running-sum-of-boundaries.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
+    # parquet TIMESTAMP_NTZ needs a cast before unix_micros; the session
+    # runs UTC so the NTZ->LTZ cast preserves the wall-clock epoch
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    boundary = (
+        F.col("prev_ts").isNull() | (us("ts") - us("prev_ts") > gap_us)
+    ).cast("int")
+    with_session = with_prev.withColumn(
+        "session_idx", F.sum(boundary).over(w)
+    )
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("int").alias("events"),
+    ).drop("session_idx")
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState.
+
+    Per-user state carries (start_us, last_us, count); a micro-batch extends the
+    open session or closes it on gap/timeout.  Closed sessions are
+    emitted; the open session is emitted when the state times out
+    (processing-time timeout = gap).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        user_id = key[0]
+        batches = [p for p in pdfs if len(p)]
+        out = []
+        if batches:
+            rows = pd.concat(batches)
+            ts_us = (
+                pd.to_datetime(rows["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000
+            ).sort_values().tolist()
+            if state.exists:
+                start_us, last_us, count = state.get
+            else:
+                start_us, last_us, count = ts_us[0], ts_us[0], 0
+            for t in ts_us:
+                if count and t - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, count))
+                    start_us, count = t, 0
+                last_us = t
+                count += 1
+            state.update((start_us, last_us, count))
+            state.setTimeoutDuration(gap_us // 1000)  # API takes ms
+        elif state.hasTimedOut and state.exists:
+            start_us, last_us, count = state.get
+            out.append((user_id, start_us, last_us, count))
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime(
+                        [o[1] for o in out], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [o[2] for o in out], unit="us"
+                    ),
+                    "events": [o[3] for o in out],
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -98,3 +98,23 @@ def test_resume_anti_join_shape(spark):
     done = docs.limit(10).select("doc_id")
     plan = _plan(resume_filter(docs, done))
     assert "LeftAnti" in plan
+
+
+def test_salt_occupancy_uniform(spark):
+    """The skew salt must actually fill partitions evenly -- plan-shape
+    checks alone missed the balls-in-bins regression this guards against."""
+    from html2text_spark.pipeline import salt_by_size
+    from html2text_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 1600, seed=13)
+    n = 16
+    occ = (
+        salt_by_size(docs, n)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in occ]
+    assert len(counts) == n, f"only {len(counts)}/{n} partitions used"
+    assert max(counts) < 2 * (1600 // n), f"hot partition: {sorted(counts)}"
