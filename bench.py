@@ -49,43 +49,61 @@ def _session(cores: int):
     return builder.getOrCreate()
 
 
-def _extraction_bench(spark, corpus_path: str, cores: int, runs: int = 2) -> dict:
-    """Time extract+count over the materialized corpus; docs/sec.
+def _extraction_bench_levels(spark, corpus_path: str, levels, rounds: int = 3):
+    """Time extract+count at several parallelism levels in ONE session.
 
-    The input is pinned in memory (pre-counted) so the measurement is the
-    extraction projection itself, not cold file IO; the plan is the
-    shuffle-free narrow path (scan -> mapInPandas -> agg) -- the synthetic
-    corpus is size-uniform across partitions, so no salt exchange is
-    needed (skew defusal is exercised separately in tests).  Best of
-    ``runs`` to damp machine noise.
+    Parallelism is set by the number of cached input partitions: with L
+    partitions only L tasks (and L Python workers) run concurrently on a
+    local[CPUS] master, emulating an L-core cluster while keeping the
+    same JVM.  Levels are measured *interleaved* (A,B,A,B,...) so a
+    machine-noise window degrades every level equally instead of
+    poisoning one side of the scaling ratio; best-of-``rounds`` per
+    level.  The input is pinned in memory so the measurement is the
+    extraction projection, not file IO; the plan is the shuffle-free
+    narrow path (scan -> mapInPandas -> agg).
     """
     from pyspark.sql import functions as F
 
     from html2text_spark.pipeline import extract
 
-    docs = spark.read.parquet(corpus_path).repartition(cores * 4).persist()
-    docs.count()  # materialize the cache
+    cached = {}
+    for level in levels:
+        df = spark.read.parquet(corpus_path).repartition(level).persist()
+        df.count()
+        cached[level] = df
     # warmup: JIT + spin up the full Python worker pool on every core
-    extract(docs.limit(cores * 40).repartition(cores)).count()
+    extract(
+        cached[max(levels)].limit(max(levels) * 40).repartition(max(levels))
+    ).count()
 
-    best = None
-    for _ in range(runs):
-        t0 = time.time()
-        n_docs, n_bytes = extract(docs).agg(
-            F.count("*"), F.sum("metrics.bytes_in")
-        ).collect()[0]
-        wall = time.time() - t0
-        if best is None or wall < best:
-            best = wall
-    docs.unpersist()
-    return {
-        "docs": int(n_docs),
-        "mb_in": round(int(n_bytes) / 1e6, 1),
-        "wall_sec": round(best, 2),
-        "docs_per_sec": round(n_docs / best, 1),
-        "mb_per_sec": round(int(n_bytes) / 1e6 / best, 2),
-        "cores": cores,
-    }
+    best = {level: None for level in levels}
+    totals = {}
+    for _ in range(rounds):
+        for level in levels:
+            t0 = time.time()
+            n_docs, n_bytes = extract(cached[level]).agg(
+                F.count("*"), F.sum("metrics.bytes_in")
+            ).collect()[0]
+            wall = time.time() - t0
+            totals[level] = (int(n_docs), int(n_bytes))
+            if best[level] is None or wall < best[level]:
+                best[level] = wall
+    for df in cached.values():
+        df.unpersist()
+
+    results = {}
+    for level in levels:
+        n_docs, n_bytes = totals[level]
+        wall = best[level]
+        results[level] = {
+            "docs": n_docs,
+            "mb_in": round(n_bytes / 1e6, 1),
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
+            "parallelism": level,
+        }
+    return results
 
 
 def main() -> int:
@@ -135,30 +153,20 @@ def main() -> int:
             .write.mode("overwrite").parquet(corpus_dir)
 
     # ---- phase 3: N vs 4N scaling on the same input ----
-    # In local mode every parallelism level shares ONE machine: at
-    # local[CPUS] the JVM task threads + Python workers oversubscribe the
-    # box (2*CPUS runnable threads on CPUS cores), which is an artifact a
-    # real 4N-executor cluster does not have.  The fair N-vs-4N pair on a
-    # 32-core host is therefore local[CPUS/8] vs local[CPUS/2] -- neither
-    # level is core-starved -- while the headline docs/sec is still
-    # measured at full local[CPUS].
+    # Parallelism levels share ONE local[CPUS] session, controlled by the
+    # cached input's partition count (L partitions => L concurrent tasks
+    # and L Python workers).  N=CPUS/8 vs 4N=CPUS/2 keeps both levels
+    # clear of JVM+worker oversubscription (an artifact a real cluster
+    # does not have); interleaved best-of-3 rounds make the efficiency
+    # ratio robust to this box's background-load spikes.  Headline
+    # docs/sec is the full-width level.
     n_low = max(CPUS // 8, 1)
     n_high = max(CPUS // 2, 2)
-    full = _extraction_bench(spark, corpus_dir, CPUS)
+    levels = _extraction_bench_levels(
+        spark, corpus_dir, [n_low, n_high, CPUS], rounds=3
+    )
     spark.stop()
-
-    # best-of-3 on the scaling pair: this box carries background load
-    # spikes that can poison a whole phase (observed 2x swings); the
-    # efficiency ratio needs both levels measured clean
-    spark_h = _session(n_high)
-    spark_h.sparkContext.setLogLevel("ERROR")
-    high = _extraction_bench(spark_h, corpus_dir, n_high, runs=3)
-    spark_h.stop()
-
-    spark_l = _session(n_low)
-    spark_l.sparkContext.setLogLevel("ERROR")
-    low = _extraction_bench(spark_l, corpus_dir, n_low, runs=3)
-    spark_l.stop()
+    low, high, full = levels[n_low], levels[n_high], levels[CPUS]
 
     efficiency = round(
         (high["docs_per_sec"] / low["docs_per_sec"]) / (n_high / n_low), 3
@@ -172,11 +180,11 @@ def main() -> int:
         "sf": sf_val,
         "extraction": {
             "corpus_docs": BENCH_DOCS,
-            f"local[{n_low}]": low,
-            f"local[{n_high}]": high,
-            f"local[{CPUS}]": full,
+            f"parallelism[{n_low}]": low,
+            f"parallelism[{n_high}]": high,
+            f"parallelism[{CPUS}]": full,
             "docs_per_sec": full["docs_per_sec"],
-            "scaling_pair": [f"local[{n_low}]", f"local[{n_high}]"],
+            "scaling_pair": [f"parallelism[{n_low}]", f"parallelism[{n_high}]"],
             "scaling_efficiency": efficiency,
             "scaling_target": 0.8,
         },

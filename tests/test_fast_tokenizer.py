@@ -61,7 +61,7 @@ def _random_html(rng: random.Random, depth: int = 0) -> str:
     return " ".join(parts)
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(150))
 def test_random_differential(seed):
     rng = random.Random(seed)
     html = _random_html(rng)
