@@ -123,9 +123,12 @@ def main() -> int:
         "extract_markdown",
         "dedup_exact",
         "dedup_minhash_candidates",
+        "dedup_embedding",
         "text_quality",
         "text_fingerprint",
         "sim_cosine_topk",
+        "events_sessions",
+        "corpus_curation",
         "metrics_by_lang",
     ]
     queries = entry_mod.queries()

@@ -196,3 +196,29 @@ def test_fragmented_html_spans_coalesce(spark):
     row = extract(df).collect()[0]
     concat = "".join(s["text"] for s in row["spans"] if s["kind"] == "text")
     assert concat == convert(full_html)
+
+
+def test_monster_document_skew(spark):
+    """One 5 MB document among 2000 small ones: salting must spread the
+    load and the pipeline must complete with correct per-doc output."""
+    from html2text_spark.core.converter import convert
+
+    monster_html = "<h1>big</h1>" + "<p>" + ("word " * 200) + "</p>" * 1  # ~1KB
+    monster_html = monster_html * 5000  # ~5MB of repeated blocks
+    small = [
+        (f"s{i}", [{"kind": "html", "text": f"<p>doc {i}</p>", "media_ref": "", "offset": 0}])
+        for i in range(2000)
+    ]
+    rows = small + [
+        ("monster", [{"kind": "html", "text": monster_html, "media_ref": "", "offset": 0}])
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    ext = extract(df, salt_partitions=16)
+    out = {r["doc_id"]: r for r in ext.collect()}
+    assert len(out) == 2001
+    assert out["monster"]["metrics"]["bytes_in"] > 4_000_000
+    assert not out["monster"]["metrics"]["malformed"]
+    assert (
+        "".join(s["text"] for s in out["s7"]["spans"] if s["kind"] == "text")
+        == convert("<p>doc 7</p>")
+    )
