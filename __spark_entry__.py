@@ -24,7 +24,7 @@ from html2text_spark.operators import dedup as D
 from html2text_spark.operators import similarity as S
 from html2text_spark.operators import textstats as T
 from html2text_spark.operators import multimodal as M
-from html2text_spark.pipeline import extract, text_of
+from html2text_spark.pipeline import extract, markdown_col, text_of
 from html2text_spark.sources import adapt_flat_documents
 
 _Q = Callable[[SparkSession, str], DataFrame]
@@ -66,18 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
     extracted = extract(adapt_flat_documents(docs), salt_partitions=8)
     # markdown preview derived from the spans column in the same
     # projection (a self-join here would run the extraction twice)
-    markdown = F.concat_ws(
-        "",
-        F.transform(
-            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-            lambda s: s["text"],
-        ),
-    )
     return extracted.select(
         "doc_id",
         "spans",
         "metrics",
-        F.substring(markdown, 1, 120).alias("markdown_head"),
+        F.substring(markdown_col(), 1, 120).alias("markdown_head"),
     )
 
 
@@ -148,13 +141,19 @@ def q_extract_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # union a verbatim copy so duplicate groups actually exist
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a verbatim copy of every doc_id % 3 == 0 row, so
+    exact-duplicate groups actually exist (mirrored in the oracles'
+    union_exact CTE)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     copy = docs.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
     )
-    return D.exact_dedup(docs.unionAll(copy))
+    return docs.unionAll(copy)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
 
 
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,11 +287,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose quality score clears a bar, count survivors per language.
     Exercises window + join + filter + aggregate in one plan."""
     docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", "text")
-    copy = base.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
-    )
-    labeled = D.exact_dedup(base.unionAll(copy))
+    labeled = D.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
     quality = T.quality_score(docs)
     survivors = (
         labeled.filter(F.col("is_canonical"))

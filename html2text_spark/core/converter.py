@@ -33,7 +33,7 @@ from __future__ import annotations
 import html.entities
 import re
 import textwrap
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 

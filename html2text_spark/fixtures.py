@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 from .core.config import Config, config_from_options
 

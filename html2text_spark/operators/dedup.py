@@ -22,8 +22,6 @@ no Python in the row loop) so they survive a 100 TB corpus:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,6 +32,11 @@ def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity rounded to 8dp (the oracle-mirrored form)."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 8)
 
 
 def cosine_topk(
@@ -59,7 +64,7 @@ def cosine_topk(
     joined = F.broadcast(queries).crossJoin(corpus).filter(
         F.col("vec_id") != F.col("qid")
     )
-    sim = F.round(_dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 8)
+    sim = _cosine(F.col("qe"), F.col("e"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         joined.select("qid", "vec_id", sim.alias("sim"))
@@ -121,11 +126,7 @@ def embedding_near_dups(
         F.col(vec_col).cast("array<double>").alias("e"),
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
     l, r = hashed.alias("l"), hashed.alias("r")
-    sim = F.round(
-        _dot(F.col("l.e"), F.col("r.e"))
-        / (_norm(F.col("l.e")) * _norm(F.col("r.e"))),
-        8,
-    )
+    sim = _cosine(F.col("l.e"), F.col("r.e"))
     return (
         l.join(
             r,
@@ -189,9 +190,7 @@ def lsh_topk(
         corpus,
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
     )
-    sim = F.round(
-        _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 8
-    )
+    sim = _cosine(F.col("qe"), F.col("e"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         joined.select("qid", "vec_id", sim.alias("sim"))

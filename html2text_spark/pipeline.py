@@ -16,7 +16,7 @@ Design notes for the 10^12-document scale target:
     tuned by bytes not rows (see recommended_session_conf);
   * skew: a single 100 MB document in a partition of 4 KB documents
     stalls the stage tail -- salt_by_size() spreads documents uniformly
-    by a size-aware hash before the projection;
+    by a full-range hash salt before the projection;
   * resume: the checkpoint module writes per-partition manifests; the
     anti-join in resume_filter() skips completed documents.
 """
@@ -28,7 +28,7 @@ from typing import Iterator, Optional
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -213,19 +213,19 @@ def per_partition_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
-def text_of(extracted: DataFrame) -> DataFrame:
-    """Reassemble the markdown text per document (fixture-equality view).
-
-    Pure built-in column expressions (JVM-side, codegen'd): filter the
-    span array to kind='text' and concatenate in offset order.
-    """
-    return extracted.select(
-        "doc_id",
-        F.concat_ws(
-            "",
-            F.transform(
-                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-                lambda s: s["text"],
-            ),
-        ).alias("markdown"),
+def markdown_col(spans_col: str = "spans"):
+    """Column expression reassembling the markdown text from a spans array
+    (pure built-ins, JVM-side codegen): filter to kind='text', concat in
+    offset order."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.filter(spans_col, lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
     )
+
+
+def text_of(extracted: DataFrame) -> DataFrame:
+    """Reassemble the markdown text per document (fixture-equality view)."""
+    return extracted.select("doc_id", markdown_col().alias("markdown"))
