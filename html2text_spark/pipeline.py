@@ -92,22 +92,29 @@ def recommended_session_conf() -> dict:
 
 
 def _convert_row_spans(raw_spans, cfg: Config):
-    """Pure per-row conversion: input span structs -> output span structs."""
+    """Pure per-row conversion: input span structs -> output span structs.
+
+    A malformed row (NULL spans, NULL offsets, conversion failure) must
+    never fail the job: it yields empty output with metrics.malformed set
+    (the reference raises LogicException for e.g. invalid base URLs -- we
+    record it instead).
+    """
     in_spans = []
     bytes_in = 0
-    for s in sorted(raw_spans, key=lambda x: x["offset"]):
-        kind = s["kind"] or ""
-        text = s["text"] or ""
-        media = s["media_ref"] or ""
-        bytes_in += len(text.encode("utf-8", "ignore")) + len(media)
-        in_spans.append((kind, text, media))
     t0 = time.perf_counter()
     malformed = False
     try:
+        # NB: raw_spans arrives as a numpy array from Arrow -- `or []`
+        # would raise on its ambiguous truth value
+        spans_list = [] if raw_spans is None else raw_spans
+        for s in sorted(spans_list, key=lambda x: x["offset"] or 0):
+            kind = s["kind"] or ""
+            text = s["text"] or ""
+            media = s["media_ref"] or ""
+            bytes_in += len(text.encode("utf-8", "ignore")) + len(media)
+            in_spans.append((kind, text, media))
         out = convert_spans(in_spans, cfg)
     except Exception:
-        # conversion must never fail the job: flag the row (the reference
-        # raises LogicException for e.g. invalid base URLs -- we record it)
         malformed = True
         out = []
     ms = (time.perf_counter() - t0) * 1000.0

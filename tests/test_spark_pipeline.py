@@ -222,3 +222,23 @@ def test_monster_document_skew(spark):
         "".join(s["text"] for s in out["s7"]["spans"] if s["kind"] == "text")
         == convert("<p>doc 7</p>")
     )
+
+
+def test_null_and_ragged_rows_never_fail_the_batch(spark):
+    """NULL spans / NULL struct fields must yield malformed rows, not
+    batch failures (one bad row in a 10^12-doc corpus can't kill a task)."""
+    rows = [
+        ("ok", [{"kind": "html", "text": "<p>fine</p>", "media_ref": "", "offset": 0}]),
+        ("null-spans", None),
+        ("null-fields", [{"kind": None, "text": None, "media_ref": None, "offset": None}]),
+        ("empty-array", []),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    out = {r["doc_id"]: r for r in extract(df).collect()}
+    assert len(out) == 4
+    assert not out["ok"]["metrics"]["malformed"]
+    assert "".join(s["text"] for s in out["ok"]["spans"] if s["kind"] == "text") == "fine\n\n"
+    for bad in ("null-spans", "empty-array"):
+        assert out[bad]["spans"] == []
+    # null struct fields: kind '' is neither html nor media -> empty output
+    assert out["null-fields"]["spans"] == []
