@@ -7,10 +7,10 @@ local[$SPARK_GRAFT_CPUS]:
     dedup, similarity, text analysis) -- per-query wall seconds;
   * the primary north-rule metric: HTML->markdown span-extraction
     throughput (docs/sec) over a deterministic skewed synthetic HTML
-    corpus, measured at TWO parallelism levels (local[N/4] and local[N])
-    on the SAME materialized input, yielding the scaling efficiency
-    (T_4N/T_N)/4 required by BASELINE.md (sandbox substitute for N vs 4N
-    executors).
+    corpus, measured at parallelism levels CPUS/8, CPUS/2 and CPUS
+    (partition-count controlled, interleaved, same cached input) --
+    the N-vs-4N scaling efficiency required by BASELINE.md (sandbox
+    substitute for N vs 4N executors).
 
 Output: {"metric": ..., "value": <total headline sec>, "unit": "sec",
          "queries": {...}, "sf": ..., "extraction": {...}} on ONE line.
