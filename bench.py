@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
 
 
 def _session(cores: int):
@@ -76,7 +76,7 @@ def _extraction_bench_levels(spark, corpus_path: str, levels, rounds: int = 3):
         cached[max(levels)].limit(max(levels) * 40).repartition(max(levels))
     ).count()
 
-    best = {level: None for level in levels}
+    walls = {level: [] for level in levels}
     totals = {}
     for _ in range(rounds):
         for level in levels:
@@ -84,21 +84,20 @@ def _extraction_bench_levels(spark, corpus_path: str, levels, rounds: int = 3):
             n_docs, n_bytes = extract(cached[level]).agg(
                 F.count("*"), F.sum("metrics.bytes_in")
             ).collect()[0]
-            wall = time.time() - t0
             totals[level] = (int(n_docs), int(n_bytes))
-            if best[level] is None or wall < best[level]:
-                best[level] = wall
+            walls[level].append(time.time() - t0)
     for df in cached.values():
         df.unpersist()
 
     results = {}
     for level in levels:
         n_docs, n_bytes = totals[level]
-        wall = best[level]
+        wall = min(walls[level])
         results[level] = {
             "docs": n_docs,
             "mb_in": round(n_bytes / 1e6, 1),
             "wall_sec": round(wall, 2),
+            "round_wall_secs": [round(w, 2) for w in walls[level]],
             "docs_per_sec": round(n_docs / wall, 1),
             "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
             "parallelism": level,
@@ -166,7 +165,7 @@ def main() -> int:
     n_low = max(CPUS // 8, 1)
     n_high = max(CPUS // 2, 2)
     levels = _extraction_bench_levels(
-        spark, corpus_dir, [n_low, n_high, CPUS], rounds=3
+        spark, corpus_dir, [n_low, n_high, CPUS], rounds=4
     )
     spark.stop()
     low, high, full = levels[n_low], levels[n_high], levels[CPUS]
