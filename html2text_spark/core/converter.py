@@ -1204,8 +1204,12 @@ def optwrap(text: str, cfg: Config, state: Optional[WrapState] = None) -> str:
                     result.append("\n\n")
                     state.newlines = 2
             else:
-                # warning for the tempted: this is NOT line.isspace()
-                if not constants.RE_SPACE.search(para):
+                # warning for the tempted: this is NOT line.isspace().
+                # Anchored match (upstream-Python semantics): the PHP port
+                # searches /\s\+/ anywhere, which silently DROPS list items
+                # when ul_item_mark='+' ("  + a" contains " +"); no fixture
+                # distinguishes, so we keep the content-preserving form.
+                if not constants.RE_SPACE.match(para):
                     result.append(para + "\n")
                     state.newlines = 1
         else:
