@@ -223,6 +223,12 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5, n_planes=6)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF index: trained k-means centroids -> rows-only check (recall vs
+    # brute force asserted in tests); sims agree exactly with cosine_topk
+    return S.ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5, n_cells=16, n_probe=4)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; duplicates planted by unioning a
     lightly-perturbed copy of the embedding table."""
@@ -339,6 +345,7 @@ def queries() -> dict[str, _Q]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,

@@ -142,6 +142,81 @@ def embedding_near_dups(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Train-once k-means centroids partition the corpus into ``n_cells``
+    cells; each query probes its ``n_probe`` nearest cells and re-ranks
+    candidates with exact cosine.  At corpus scale the cell assignment is
+    a one-off projection (write `cell` as a partition column) and a query
+    touches n_probe/n_cells of the data; here the index is built inline.
+
+    Deterministic: KMeans seeded; centroid order is stable for a fixed
+    input, so results are reproducible run-to-run.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    featurized = corpus.withColumn("features", array_to_vector("e"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(featurized)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def _nearest_cells(vec_column: Column, n: int) -> Column:
+        """Array of the n nearest centroid ids (squared-L2, built-ins)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_column,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
+        )
+
+    indexed = corpus.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col("e"), 1), 1)
+    )
+    queries = indexed.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.explode(_nearest_cells(F.col("e"), n_probe)).alias("probe_cell"),
+    )
+    joined = F.broadcast(queries).join(
+        indexed,
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("qid", "vec_id", _cosine(F.col("qe"), F.col("e")).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

@@ -256,3 +256,25 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         (u, max(v)[0], dict(v)[max(v)[0]]) for u, v in by_user.items()
     }
     assert missing <= last_sessions
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    from html2text_spark.operators.similarity import cosine_topk, ivf_topk
+
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = cosine_topk(emb, qids, k=10).collect()
+    approx = ivf_topk(emb, qids, k=10, n_cells=16, n_probe=4).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.5, f"IVF recall too low: {recall}"
+    # sims must agree exactly with the brute-force computation
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
+    # determinism: second run identical
+    again = {(r["qid"], r["vec_id"], r["rank"]) for r in
+             ivf_topk(emb, qids, k=10, n_cells=16, n_probe=4).collect()}
+    assert again == {(r["qid"], r["vec_id"], r["rank"]) for r in approx}
