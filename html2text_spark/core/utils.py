@@ -207,22 +207,36 @@ def reformat_table(lines: List[str], right_margin: int) -> List[str]:
     return new_lines
 
 
-def pad_tables_in_text(text: str, right_margin: int = 1) -> str:
+class PadTableState:
+    """Carry-over for pad_tables_in_text across interleaved segments: an
+    open sentinel block at a segment boundary keeps buffering into the
+    next segment instead of being silently discarded."""
+
+    def __init__(self) -> None:
+        self.table_buffer: List[str] = []
+        self.table_started = False
+
+
+def pad_tables_in_text(
+    text: str, right_margin: int = 1, state: "PadTableState" = None
+) -> str:
     """Reformat every sentinel-delimited table block in the wrapped output."""
+    if state is None:
+        state = PadTableState()
     lines = text.split("\n")
-    table_buffer: List[str] = []
-    table_started = False
     new_lines: List[str] = []
     for line in lines:
         if constants.TABLE_MARKER_FOR_PAD in line:
-            table_started = not table_started
-            if not table_started:
-                new_lines.extend(reformat_table(table_buffer, right_margin))
-                table_buffer = []
+            state.table_started = not state.table_started
+            if not state.table_started:
+                new_lines.extend(
+                    reformat_table(state.table_buffer, right_margin)
+                )
+                state.table_buffer = []
                 new_lines.append("")
             continue
-        if table_started:
-            table_buffer.append(line)
+        if state.table_started:
+            state.table_buffer.append(line)
         else:
             new_lines.append(line)
     return "\n".join(new_lines)
