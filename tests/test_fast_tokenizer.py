@@ -32,7 +32,11 @@ def test_fixture_corpus_differential():
 _TAGS = ["p", "div", "b", "i", "em", "span", "ul", "li", "ol", "pre", "code",
          "blockquote", "h1", "h2", "table", "tr", "td", "a", "q", "abbr"]
 _WORDS = ["alpha", "beta", "gamma", "x<y", "a&b", "&amp;", "&#65;", "&bogus;",
-          "tail  space", "nb sp", "-dash-", "1. list", "* star"]
+          "tail  space", "nb sp", "-dash-", "1. list", "* star",
+          "<!-->", "<!--->", "<![CDATA[z]]>", "<!doctype html>", "<?pi?>",
+          "</stray>", "<", "< notatag", "a=b",
+          "&Delta;", "&Aacute;", "&THORN;x", "<a href>v</a>",
+          "<abbr title>T</abbr>", "<td nowrap>c</td>"]
 
 
 def _random_html(rng: random.Random, depth: int = 0) -> str:
