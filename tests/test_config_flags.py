@@ -74,3 +74,17 @@ def test_google_list_indent_option():
     # 72px = 2 levels at indent 36, 1 level at indent 72
     assert narrow.startswith("    ")
     assert not wide.startswith("    ")
+
+
+def test_config_from_options_aliases():
+    from html2text_spark.core.config import config_from_options
+
+    cfg = config_from_options(
+        {"bodyWidth": 0, "ulItemMark": "-", "baseurl": "http://x/",
+         "bold_text_style_values": ["bold"], "googleDoc": True}
+    )
+    assert cfg.body_width == 0
+    assert cfg.ul_item_mark == "-"
+    assert cfg.base_url == "http://x/"
+    assert cfg.bold_text_style_values == ("bold",)
+    assert cfg.google_doc is True
