@@ -648,7 +648,7 @@ with docs as (select doc_id, text from documents
         + 0.3 * greatest(0.0, 1.0 - least(1.0,
             (case when n_chars > 0 then n_punct / n_chars else 0.0 end) * 10.0)), 8) as quality
   from t)
-select d.lang, count(*) as kept_docs, sum(q.n_words) as kept_words
+select d.lang, count(*) as kept_docs, sum(q.n_words)::BIGINT as kept_words
 from canon c
 join qual q on q.doc_id = c.doc_id
 join documents d on d.doc_id = c.doc_id

@@ -26,6 +26,19 @@ TABLES = (
 ).split()
 
 
+def _kind_class(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     cols = sorted(df.columns)
     df = df[cols].copy()
@@ -85,7 +98,17 @@ def main() -> int:
         t_duck = time.time() - t1
         a, b = normalize(spark_pd), normalize(duck_pd)
         status = "OK"
-        if sorted(a.columns) != sorted(b.columns):
+        # the driver hashes raw values, so an int64-vs-float64 column (e.g.
+        # DuckDB HUGEINT materialized as float) fails there even though the
+        # normalized comparison below would pass -- catch it here first
+        dtype_diffs = [
+            (c, spark_pd[c].dtype, duck_pd[c].dtype)
+            for c in sorted(set(spark_pd.columns) & set(duck_pd.columns))
+            if _kind_class(spark_pd[c].dtype) != _kind_class(duck_pd[c].dtype)
+        ]
+        if dtype_diffs:
+            status = f"DTYPE MISMATCH {dtype_diffs}"
+        elif sorted(a.columns) != sorted(b.columns):
             status = f"SCHEMA MISMATCH {sorted(a.columns)} vs {sorted(b.columns)}"
         elif len(a) != len(b):
             status = f"ROWCOUNT {len(a)} vs {len(b)}"
