@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from html2text_spark.operators import dedup as D
+from html2text_spark.operators import relational as R
 from html2text_spark.operators import similarity as S
 from html2text_spark.operators import textstats as T
 from html2text_spark.operators import multimodal as M
@@ -53,6 +54,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _spread(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 # ----------------------------------------------------------------------
@@ -307,6 +312,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_by_nation(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+        region_name="ASIA",
+        year=1996,
+    )
+
+
+def q_rel_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_brands(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part"), k=10
+    )
+
+
+def q_rel_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.late_shipment_priority(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (batch shape; the
     streaming twin via applyInPandasWithState is tested for equivalence
@@ -349,6 +382,10 @@ def queries() -> dict[str, _Q]:
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_revenue_by_nation": q_rel_revenue_by_nation,
+        "rel_top_brands": q_rel_top_brands,
+        "rel_late_priority": q_rel_late_priority,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -654,6 +691,60 @@ join qual q on q.doc_id = c.doc_id
 join documents d on d.doc_id = c.doc_id
 where c.is_canonical and q.quality >= 0.5
 group by d.lang
+""",
+        "rel_pricing_summary": """
+with li as (
+  select l_returnflag, l_linestatus,
+    round(l_quantity)::BIGINT as qty,
+    round(l_extendedprice*100)::BIGINT as base_cents,
+    round(l_discount*100)::BIGINT as disc_pct,
+    round(l_tax*100)::BIGINT as tax_pct
+  from lineitem where l_shipdate <= timestamp '1998-09-02')
+select l_returnflag, l_linestatus,
+  sum(qty)::BIGINT as sum_qty,
+  sum(base_cents)::BIGINT as sum_base_cents,
+  sum(base_cents*(100-disc_pct))::BIGINT as sum_disc_cp,
+  sum(base_cents*(100-disc_pct)*(100+tax_pct))::BIGINT as sum_charge_cpp,
+  round(sum(qty)::DOUBLE / count(*), 6) as avg_qty,
+  round(sum(base_cents)::DOUBLE / count(*), 6) as avg_price_cents,
+  count(*) as count_order
+from li group by l_returnflag, l_linestatus
+""",
+        "rel_revenue_by_nation": """
+with dim as (select n_nationkey, n_name from nation
+             join region on n_regionkey = r_regionkey
+             where r_name = 'ASIA'),
+ o as (select o_orderkey, o_custkey from orders where year(o_orderdate) = 1996),
+ li as (select l_orderkey,
+        round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT) as rev_cp
+        from lineitem)
+select n_name, sum(rev_cp)::BIGINT as revenue_cp
+from li join o on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join dim on c_nationkey = n_nationkey
+group by n_name
+order by revenue_cp desc, n_name asc
+""",
+        "rel_top_brands": """
+with li as (select l_partkey,
+        round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT) as rev_cp,
+        round(l_quantity)::BIGINT as qty
+        from lineitem)
+select p_brand, sum(rev_cp)::BIGINT as revenue_cp,
+       sum(qty)::BIGINT as total_qty, count(*) as n_lines
+from li join part on l_partkey = p_partkey
+group by p_brand
+order by revenue_cp desc, p_brand asc
+limit 10
+""",
+        "rel_late_priority": """
+with late as (
+  select distinct l_orderkey from lineitem
+  join orders on l_orderkey = o_orderkey
+  where l_shipdate > o_orderdate + interval 60 day)
+select o_orderpriority, count(*) as late_orders
+from orders join late on o_orderkey = l_orderkey
+group by o_orderpriority
 """,
         "metrics_by_lang": """
 select lang, count(*) as docs,

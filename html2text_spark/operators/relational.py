@@ -1,0 +1,171 @@
+"""General relational operators over the TPC-H-style warehouse tables.
+
+These queries demonstrate the engine's join/aggregate/sort competence on
+the star-schema side of a training-data platform (the same cluster that
+extracts HTML also joins usage/metadata tables).  Design notes for the
+100 TB case:
+
+* **Money is integer cents, never summed floats.**  Float addition is
+  order-dependent, so a shuffled distributed sum of doubles is not
+  reproducible run-to-run (and never matches a single-threaded oracle
+  bit-for-bit).  Prices in the corpus are exact cents and discounts/tax
+  exact percent, so ``round(x*100)::bigint`` is lossless and every
+  aggregate below is exact integer arithmetic -- deterministic at any
+  parallelism.
+* **Dimension joins are explicit broadcasts** (nation/region/part are
+  tiny even at 100 TB fact scale); the fact-fact joins (orders x
+  lineitem, customer x orders) shuffle on their keys, which are uniform
+  by construction -- no skew handling needed, and AQE would coalesce.
+* **Top-k is aggregate-then-sort on the grouped (small) result**, never
+  a global sort of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents from a 2-decimal price stored as double."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str) -> Column:
+    """Exact integer percent from a 2-decimal rate stored as double."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report over lineitem.
+
+    revenue/charge are in cent-percent units (cents * integer percent)
+    so the whole report is exact integer math; averages are derived
+    ratios rounded at the end (identical division on both engines).
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff)).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("base_cents"),
+        _pct("l_discount").alias("disc_pct"),
+        _pct("l_tax").alias("tax_pct"),
+    )
+    disc = F.col("base_cents") * (F.lit(100) - F.col("disc_pct"))
+    charge = disc * (F.lit(100) + F.col("tax_pct"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("base_cents").alias("sum_base_cents"),
+        F.sum(disc).alias("sum_disc_cp"),
+        F.sum(charge).alias("sum_charge_cpp"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_cp",
+        "sum_charge_cpp",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / F.col("count_order"), 6).alias(
+            "avg_price_cents"
+        ),
+        "count_order",
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year: int = 1996,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for one region and one year.
+
+    Plan: lineitem |x| orders (shuffle on orderkey) |x| customer
+    (shuffle on custkey) |x| broadcast(nation |x| region).  Filters are
+    applied before the joins so predicate pushdown reaches the scans.
+    """
+    dim = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == region_name)
+        .select("n_nationkey", "n_name")
+    )
+    ords = orders.filter(F.year("o_orderdate") == year).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_cp"
+        ),
+    )
+    joined = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("rev_cp").alias("revenue_cp"))
+        .orderBy(F.desc("revenue_cp"), F.asc("n_name"))
+    )
+
+
+def top_brands(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k brands by discounted revenue: broadcast dim join, aggregate,
+    then sort only the 25-row grouped result (never the fact table)."""
+    li = lineitem.select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_cp"
+        ),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum("rev_cp").alias("revenue_cp"),
+            F.sum("qty").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue_cp"), F.asc("p_brand"))
+        .limit(k)
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape: orders with >=1 lineitem shipped more than
+    ``late_days`` after the order date, counted per priority.
+
+    Left-semi join (no fanout from multi-line orders) then a 5-group
+    aggregate; the semi join shuffles once on orderkey.
+    """
+    late = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(late_days), F.col("o_orderdate"))
+        )
+        .select(F.col("l_orderkey").alias("late_orderkey"))
+        .distinct()
+    )
+    return (
+        orders.join(
+            late, orders["o_orderkey"] == late["late_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("late_orders"))
+    )
