@@ -75,18 +75,32 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def sessionize_stream(
-    events_stream: DataFrame, gap_minutes: int = 30
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Streaming sessionization via applyInPandasWithState.
+    """Streaming sessionization via applyInPandasWithState (event time).
 
-    Per-user state carries (start_us, last_us, count); a micro-batch extends the
-    open session or closes it on gap/timeout.  Closed sessions are
-    emitted; the open session is emitted when the state times out
-    (processing-time timeout = gap).
+    Per-user state carries (start_us, last_us, count); a micro-batch
+    extends the open session or closes it on gap.  The open session is
+    emitted when its event-time timeout fires: ``EventTimeTimeout`` with
+    the timeout timestamp set to ``last_event + gap``, so a session
+    closes exactly when the *watermark* (not the wall clock) passes the
+    gap -- late events cannot resurrect a closed session, and events
+    later than the watermark are dropped by Spark before the operator.
+
+    ``watermark`` is the lateness tolerance (default: the gap itself).
+    Out-of-order events *within* tolerance are handled: each batch is
+    sorted, and an event older than the open session's end merges into
+    it (extending ``session_start`` backward if needed) rather than
+    corrupting the gap arithmetic.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+    if watermark is None:
+        watermark = f"{gap_minutes} minutes"
 
     def update(
         key: Tuple[Any, ...],
@@ -111,11 +125,14 @@ def sessionize_stream(
             for t in ts_us:
                 if count and t - last_us > gap_us:
                     out.append((user_id, start_us, last_us, count))
-                    start_us, count = t, 0
-                last_us = t
+                    start_us, last_us, count = t, t, 0
+                # a late-but-tolerated event (t <= last_us) merges into
+                # the open session instead of shifting its end backward
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
                 count += 1
             state.update((start_us, last_us, count))
-            state.setTimeoutDuration(gap_us // 1000)  # API takes ms
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         elif state.hasTimedOut and state.exists:
             start_us, last_us, count = state.get
             out.append((user_id, start_us, last_us, count))
@@ -134,10 +151,15 @@ def sessionize_stream(
                 }
             )
 
-    return events_stream.groupBy("user_id").applyInPandasWithState(
+    # EventTimeTimeout requires a watermark; NTZ parquet timestamps need
+    # the LTZ cast first (session runs UTC, wall-clock epoch preserved)
+    stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -196,34 +196,21 @@ def test_sessionize_batch_vs_oracle_shape(spark):
     assert len(again) == len(rows)
 
 
-def test_sessionize_stream_matches_batch(spark, tmp_path):
-    """Streaming sessionization (applyInPandasWithState) must emit the
-    same closed sessions the batch window computation derives."""
-    from html2text_spark.streaming.sessions import (
-        sessionize_batch,
-        sessionize_stream,
-    )
+def _run_session_stream(spark, stream, queryName, gap_minutes=30, **kw):
+    from html2text_spark.streaming.sessions import sessionize_stream
 
-    events = spark.read.parquet(f"{SF}/events.parquet").filter(
-        F.col("user_id") < 20
-    )
-    in_dir = str(tmp_path / "in")
-    events.write.parquet(in_dir)
-    stream = spark.readStream.schema(events.schema).parquet(in_dir)
-    # state-store init cost scales with shuffle partitions: shrink for test
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # state-store init cost scales with shuffle partitions: shrink for test
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
-            sessionize_stream(stream, gap_minutes=30)
+            sessionize_stream(stream, gap_minutes=gap_minutes, **kw)
             .writeStream.format("memory")
-            .queryName("sessions_out")
+            .queryName(queryName)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        # the stateful query may not self-terminate while group-state
-        # timeouts are pending; wait for the drain then stop explicitly
         import time as _time
 
         deadline = _time.time() + 120
@@ -236,26 +223,112 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"select * from {queryName}")
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionization (applyInPandasWithState, event-time
+    timeout) must emit the same closed sessions the batch window
+    computation derives -- with the input shuffled out of order."""
+    from html2text_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id") < 20
+    )
+    in_dir = str(tmp_path / "in")
+    # adversarial in-batch disorder: write in random (hash) order
+    events.orderBy(F.xxhash64("user_id", "ts", "event_type")).coalesce(
+        1
+    ).write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
     got = {
         (r["user_id"], r["session_start"], r["events"])
-        for r in spark.sql("select * from sessions_out").collect()
+        for r in _run_session_stream(spark, stream, "sessions_out").collect()
     }
     expected = {
         (r["user_id"], r["session_start"], r["events"])
         for r in sessionize_batch(events, gap_minutes=30).collect()
     }
-    # the stream emits closed sessions; with availableNow the final open
-    # session per user stays in state, so the emitted set is a subset
-    # that must exactly match batch sessions minus each user's last one
+    # the stream emits a session when the event-time watermark passes its
+    # end + gap; sessions within the final watermark horizon stay open in
+    # state, so the emitted set is a subset missing only horizon-tail
+    # sessions
     assert got <= expected
+    assert len(got) > 0
     missing = expected - got
-    by_user = {}
-    for u, s, n in expected:
-        by_user.setdefault(u, []).append((s, n))
-    last_sessions = {
-        (u, max(v)[0], dict(v)[max(v)[0]]) for u, v in by_user.items()
+    max_us = events.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    gap_us = 30 * 60 * 1_000_000
+    watermark_us = max_us - gap_us  # watermark delay defaults to the gap
+    by_key = {
+        (r["user_id"], r["session_start"], r["events"]): r["session_end"]
+        for r in sessionize_batch(events, gap_minutes=30).collect()
     }
-    assert missing <= last_sessions
+    for key in missing:
+        end_us = int(by_key[key].timestamp() * 1_000_000)
+        assert end_us + gap_us >= watermark_us, (
+            f"session {key} should have timed out but was not emitted"
+        )
+
+
+def test_sessionize_stream_event_time_late_events(spark, tmp_path):
+    """Late/out-of-order events across micro-batches: a tolerated late
+    event merges into the open session (extending it backward), a gap
+    closes it, and event-time timeouts (not wall clock) emit sessions
+    once the watermark passes."""
+    import datetime as dt
+    import os as _os
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(user, minutes):
+        return {
+            "user_id": user,
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_type": "click",
+            "value": 1.0,
+        }
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: u1 at 10:00, 10:05; u2 at 10:00
+    b1 = pd.DataFrame([ev(1, 0), ev(1, 5), ev(2, 0)])
+    # batch 2 (out of order): u1 late event 10:02 (above watermark ->
+    # merges); u2 at 11:00 (gap > 30min -> closes u2's first session)
+    b2 = pd.DataFrame([ev(1, 2), ev(2, 60)])
+    # batch 3: watermark clock -- u99 at 20:00 pushes the watermark to
+    # 19:30, timing out every open session except u99's own
+    b3 = pd.DataFrame([ev(99, 600)])
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    for i, b in enumerate([b1, b2, b3]):
+        path = str(in_dir / f"batch{i}.parquet")
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # file-source ordering follows modification time
+        ts = 1_700_000_000 + i * 10
+        for f in os.listdir(path):
+            _os.utime(os.path.join(path, f), (ts, ts))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir) + "/*")
+    rows = _run_session_stream(spark, stream, "sessions_late").collect()
+    got = {
+        (
+            r["user_id"],
+            r["session_start"].strftime("%H:%M"),
+            r["session_end"].strftime("%H:%M"),
+            r["events"],
+        )
+        for r in rows
+    }
+    assert (1, "10:00", "10:05", 3) in got, got  # late 10:02 merged
+    assert (2, "10:00", "10:00", 1) in got, got  # closed by the 11:00 gap
+    assert (2, "11:00", "11:00", 1) in got, got  # timed out by watermark
+    assert not any(u == 99 for u, *_ in got), got  # still open in state
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, emb):
