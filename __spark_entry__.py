@@ -102,6 +102,45 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable oracle for the flagship markdown output: the REAL
+    converter runs (body_width=0, full tag/entity/escape machinery) over
+    HTML constructed from the document text; for this corpus's plain
+    single-spaced text the exact output is analytically derivable, so the
+    full markdown string -- not just counts -- is value-hashed against
+    the DuckDB oracle.  Any converter regression (heading prefix,
+    paragraph break, whitespace, trailing-newline rule) breaks the hash.
+    """
+    from html2text_spark.core.config import Config
+
+    docs = _docs(spark, sf_dir)
+    html_docs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(
+                    F.lit("<h1>"),
+                    F.substring("text", 1, 48),
+                    F.lit("</h1><p>"),
+                    F.substring("text", 1, 200),
+                    F.lit("</p>"),
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    ext = extract(html_docs, cfg=Config(body_width=0))
+    md = markdown_col()
+    return ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        md.alias("markdown"),
+        F.length(md).alias("md_len"),
+        (F.size(F.split(md, "\n", -1)) - 1).alias("n_newlines"),
+    )
+
+
 def q_extract_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved doc: html + media + html spans; media must pass through
     in order as media_ref spans."""
@@ -366,6 +405,7 @@ def queries() -> dict[str, _Q]:
     return {
         "extract_metrics": q_extract_metrics,
         "extract_markdown": q_extract_markdown,
+        "extract_markdown_stats": q_extract_markdown_stats,
         "extract_media_interleave": q_extract_media_interleave,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -554,6 +594,17 @@ from r
 select doc_id, octet_length(text::BLOB)::BIGINT as bytes_in, false as malformed,
        case when trim(text) = '' then 0 else 1 end::INT as n_spans
 from documents
+""",
+        "extract_markdown_stats": """
+with md as (
+  select doc_id,
+    '# ' || substr(text, 1, 48) || chr(10) || chr(10)
+         || substr(text, 1, 200) || chr(10) as markdown
+  from documents)
+select doc_id, markdown,
+  length(markdown)::INT as md_len,
+  (length(markdown) - length(replace(markdown, chr(10), '')))::INT as n_newlines
+from md
 """,
         "extract_media_interleave": """
 select doc_id, 1::INT as n_media,
