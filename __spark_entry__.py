@@ -273,6 +273,14 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5, n_cells=16, n_probe=4)
 
 
+def q_sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic-centroid IVF: same probe/re-rank plan as sim_ivf_topk
+    # but md5-derived cells, so the oracle mirrors it exactly
+    return S.ivf_det_topk(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, n_cells=16, n_probe=4
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; duplicates planted by unioning a
     lightly-perturbed copy of the embedding table."""
@@ -419,6 +427,7 @@ def queries() -> dict[str, _Q]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_det_topk": q_sim_ivf_det_topk,
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -497,6 +506,41 @@ def _bucket_sql(emb_expr: str, n_planes: int = 6) -> str:
             f"(case when {_dot_sql(emb_expr, lit)} >= 0 then {1 << i} else 0 end)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_det_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """IVF with deterministic centroids mirrored as SQL literals: same
+    squared-L2 cell assignment (left-fold), same (dist, cell) tie-break,
+    same probe join and cosine re-rank as operators.similarity.ivf_det_topk."""
+    from html2text_spark.operators.similarity import det_centroids
+
+    cents = det_centroids(64, n_cells, seed=11)
+    values = ",\n  ".join(
+        f"({i}, [{','.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    l2 = (
+        "list_aggregate(list_transform(list_zip(emb, cvec),"
+        " x -> (x[1]-x[2])*(x[1]-x[2])), 'sum')"
+    )
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
+ c(cell, cvec) as (values {values}),
+ d as (select vec_id, emb, cell, {l2} as dist from e cross join c),
+ r as (select vec_id, emb, cell,
+       row_number() over (partition by vec_id order by dist, cell) as rn
+       from d),
+ assign as (select vec_id, emb, cell from r where rn = 1),
+ qprobe as (select vec_id as qid, emb as qe, cell as probe
+            from r where rn <= {n_probe} and vec_id in (0,1,2,3,4)),
+ sims as (
+   select qid, a.vec_id,
+     round({_dot_sql('qe', 'a.emb')} / ({_norm_sql('qe')} * {_norm_sql('a.emb')}), 8) as sim
+   from qprobe join assign a on a.cell = qprobe.probe and a.vec_id != qprobe.qid)
+select qid, vec_id, sim,
+       row_number() over (partition by qid order by sim desc, vec_id asc) as rank
+from sims qualify rank <= {k}
+"""
 
 
 def _simhash_sql() -> str:
@@ -682,6 +726,7 @@ select qid, vec_id, sim,
        row_number() over (partition by qid order by sim desc, vec_id asc) as rank
 from sims qualify rank <= 5
 """,
+        "sim_ivf_det_topk": _ivf_det_sql(),
         "dedup_embedding": f"""
 with e0 as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
  corpus as (select vec_id, emb from e0

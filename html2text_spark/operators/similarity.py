@@ -142,37 +142,19 @@ def embedding_near_dups(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
+def _ivf_core(
+    corpus: DataFrame,
     query_ids: Sequence[int],
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 7,
+    k: int,
+    n_probe: int,
+    centroids: List[List[float]],
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index.
+    """Shared IVF search: assign cells, probe, exact-cosine re-rank.
 
-    Train-once k-means centroids partition the corpus into ``n_cells``
-    cells; each query probes its ``n_probe`` nearest cells and re-ranks
-    candidates with exact cosine.  At corpus scale the cell assignment is
-    a one-off projection (write `cell` as a partition column) and a query
-    touches n_probe/n_cells of the data; here the index is built inline.
-
-    Deterministic: KMeans seeded; centroid order is stable for a fixed
-    input, so results are reproducible run-to-run.
+    At corpus scale the cell assignment is a one-off projection (write
+    ``cell`` as a partition column) and a query touches only
+    n_probe/n_cells of the data; here the index is built inline.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-    )
-    featurized = corpus.withColumn("features", array_to_vector("e"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(featurized)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def _nearest_cells(vec_column: Column, n: int) -> Column:
         """Array of the n nearest centroid ids (squared-L2, built-ins)."""
@@ -215,6 +197,74 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index, trained cells.
+
+    Train-once k-means centroids partition the corpus into ``n_cells``
+    cells; each query probes its ``n_probe`` nearest cells and re-ranks
+    candidates with exact cosine.
+
+    Deterministic run-to-run (KMeans seeded; centroid order stable for a
+    fixed input) but not SQL-mirrorable -- verified by recall tests; use
+    ``ivf_det_topk`` for the oracle-exact variant.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    featurized = corpus.withColumn("features", array_to_vector("e"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(featurized)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return _ivf_core(corpus, query_ids, k, n_probe, centroids)
+
+
+def det_centroids(
+    dim: int, n_cells: int, seed: int = 11, scale: float = 0.5
+) -> List[List[float]]:
+    """Deterministic pseudo-random centroids (md5-driven like
+    ``_hyperplanes``): identical on every executor, every run, and
+    mirrorable as SQL literals in the DuckDB oracle.  Quality is below
+    trained k-means (cells are not data-adapted) -- this is the
+    verification twin, ``ivf_topk`` is the quality path."""
+    return [
+        [x * scale for x in plane]
+        for plane in _hyperplanes(dim, n_cells, seed=seed)
+    ]
+
+
+def ivf_det_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF top-k with deterministic md5-derived centroids: exact-oracle
+    variant of ``ivf_topk`` (same probe/re-rank plan, fixed cells)."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    centroids = det_centroids(dim, n_cells, seed=seed)
+    return _ivf_core(corpus, query_ids, k, n_probe, centroids)
 
 
 def lsh_topk(
