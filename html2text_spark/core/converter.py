@@ -41,7 +41,7 @@ from . import constants, utils
 from .config import Config
 from .urljoin import url_join
 
-_PLACEHOLDER_RE = re.compile(r"__PH2T__(CHAR|ENT)_([^_]+(?:_[^_]+)*?)__")
+_PLACEHOLDER_RE = re.compile(r"__PH2T__(CHAR|ENT|RAW)_([^_]+(?:_[^_]+)*?)__")
 _ENTITY_RE = re.compile(r"&(#[xX][0-9A-Fa-f]+|#[0-9]+|[A-Za-z][A-Za-z0-9]+);")
 # ASCII whitespace only, matching the reference's non-unicode /\s+/
 # (src/DataContainer.php:157)
@@ -173,6 +173,11 @@ def _preprocess_entities(html_text: str) -> str:
         # spec-correct (and upstream-Python) behavior
         return "__PH2T__ENT_" + entity + "__"
 
+    # input text that literally contains the sentinel (adversarial or
+    # unlucky documents) must survive the round trip: self-encode it as a
+    # RAW placeholder BEFORE generating real ones, decoded back verbatim
+    if "__PH2T__" in html_text:
+        html_text = html_text.replace("__PH2T__", "__PH2T__RAW_x__")
     return _ENTITY_RE.sub(repl, html_text)
 
 
@@ -299,7 +304,9 @@ class _Parser(HTMLParser):
                 self.push(self._normalize_plain_text(data[pos : m.start()]))
             converted = self._convert_placeholder(m.group(1), m.group(2))
             if converted:
-                self.push(converted, entity_char=True)
+                # a restored RAW literal is ordinary text, not an entity:
+                # it must take the normal escape_md path
+                self.push(converted, entity_char=(m.group(1) != "RAW"))
             pos = m.end()
         if pos < len(data):
             self.push(self._normalize_plain_text(data[pos:]))
@@ -362,6 +369,8 @@ class _Parser(HTMLParser):
     def _convert_placeholder(self, kind: str, value: str) -> str:
         if kind == "CHAR":
             return self.charref(value)
+        if kind == "RAW":  # literal __PH2T__ present in the source text
+            return "__PH2T__"
         return self.entityref(value)
 
     @staticmethod
@@ -1364,8 +1373,10 @@ def convert_spans(
         # thread the sentinel-block state across segments (a media span
         # inside a padded table must not drop the buffered rows)
         pad_state = utils.PadTableState()
+        last = len(segment_texts) - 1
         segment_texts = [
-            utils.pad_tables_in_text(s, state=pad_state) for s in segment_texts
+            utils.pad_tables_in_text(s, state=pad_state, flush=(i == last))
+            for i, s in enumerate(segment_texts)
         ]
 
     media_by_segment: Dict[int, List[str]] = {}

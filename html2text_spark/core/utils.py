@@ -218,11 +218,24 @@ class PadTableState:
 
 
 def pad_tables_in_text(
-    text: str, right_margin: int = 1, state: "PadTableState" = None
+    text: str,
+    right_margin: int = 1,
+    state: "PadTableState" = None,
+    flush: bool = None,
 ) -> str:
-    """Reformat every sentinel-delimited table block in the wrapped output."""
+    """Reformat every sentinel-delimited table block in the wrapped output.
+
+    ``flush`` closes a still-open sentinel block at the end (malformed
+    HTML with an unclosed <table> must not lose the buffered rows or any
+    content after them).  Defaults to True for standalone calls; pass an
+    explicit ``state``/``flush`` when threading segments and flush only
+    on the last one.
+    """
+    standalone = state is None
     if state is None:
         state = PadTableState()
+    if flush is None:
+        flush = standalone
     lines = text.split("\n")
     new_lines: List[str] = []
     for line in lines:
@@ -239,6 +252,11 @@ def pad_tables_in_text(
             state.table_buffer.append(line)
         else:
             new_lines.append(line)
+    if flush and state.table_started:
+        new_lines.extend(reformat_table(state.table_buffer, right_margin))
+        state.table_buffer = []
+        state.table_started = False
+        new_lines.append("")
     return "\n".join(new_lines)
 
 
