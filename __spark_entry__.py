@@ -41,8 +41,15 @@ def _spread(df: DataFrame) -> DataFrame:
     real corpus scan has thousands of splits and never hits this.  The
     repartition is a few MB -- negligible -- and removed by AQE when
     the input is already wide.
+
+    The ``df.rdd`` probe forces plan materialization, so a deployment
+    with a real multi-split input should disable the whole probe by
+    setting ``spark.html2text.assumeMultiSplit=true`` on the session.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    if sess.conf.get("spark.html2text.assumeMultiSplit", "false") == "true":
+        return df
+    parallelism = sess.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df

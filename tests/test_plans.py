@@ -100,6 +100,38 @@ def test_resume_anti_join_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_relational_dim_joins_broadcast(spark):
+    """nation/region/part are tiny dims at any fact scale: the plans must
+    broadcast them, never shuffle the fact side for a dim join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_rel_top_brands(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    plan5 = _plan(e.q_rel_revenue_by_nation(spark, SF))
+    assert "BroadcastExchange" in plan5, plan5
+
+
+def test_rel_pricing_summary_single_agg_no_join(spark):
+    """Q1 shape: scan -> filter -> partial agg -> one exchange -> final
+    agg.  Exactly one hash shuffle (6 groups), no join operators."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_rel_pricing_summary(spark, SF))
+    assert "Join" not in plan
+    # one hashpartitioning exchange for the groupBy (plus the sandbox
+    # _spread round-robin repartition, which is not hashpartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rel_late_priority_semi_join(spark):
+    """The late-order lookup must stay a semi join (no fanout from
+    multi-line orders into the aggregate)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_rel_late_priority(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
 def test_salt_occupancy_uniform(spark):
     """The skew salt must actually fill partitions evenly -- plan-shape
     checks alone missed the balls-in-bins regression this guards against."""
