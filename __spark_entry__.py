@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from html2text_spark.operators import curation as C
 from html2text_spark.operators import dedup as D
 from html2text_spark.operators import relational as R
 from html2text_spark.operators import similarity as S
@@ -366,6 +367,31 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample (reproducible across retries, unlike
+    rand()-based sampling -- essential for stable train/eval splits)."""
+    return C.hash_sample(_docs(spark, sf_dir), pct=10).select(
+        "doc_id", "lang"
+    )
+
+
+def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents laid out per source, chunked into
+    512-token training windows by running offset."""
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(TOKEN_PATTERN_SQL)).alias("n_tokens"),
+    )
+    return C.pack_sequences(with_tokens, window_tokens=512)
+
+
+def q_curation_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams per language (vocabulary statistics)."""
+    return C.top_ngrams(_docs(spark, sf_dir), n=2, k=10)
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
 
@@ -438,6 +464,9 @@ def queries() -> dict[str, _Q]:
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "curation_sample": q_curation_sample,
+        "curation_pack": q_curation_pack,
+        "curation_ngrams": q_curation_ngrams,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_top_brands": q_rel_top_brands,
@@ -794,6 +823,32 @@ join qual q on q.doc_id = c.doc_id
 join documents d on d.doc_id = c.doc_id
 where c.is_canonical and q.quality >= 0.5
 group by d.lang
+""",
+        "curation_sample": """
+select doc_id, lang from documents
+where ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 10
+""",
+        "curation_pack": f"""
+with t as (select doc_id, source,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}'))::BIGINT as n_tokens
+           from documents),
+ c as (select doc_id, source, n_tokens,
+       sum(n_tokens) over (partition by source order by doc_id
+                           rows unbounded preceding) as cum from t)
+select source, floor((cum - n_tokens) / 512.0)::BIGINT as pack_id,
+       count(*) as docs, sum(n_tokens)::BIGINT as pack_tokens,
+       min(doc_id) as first_doc, max(doc_id) as last_doc
+from c group by 1, 2
+""",
+        "curation_ngrams": """
+with w as (select lang, regexp_split_to_array(trim(text), '\\s+') as words from documents),
+ g as (select lang, unnest(list_transform(
+         range(1, greatest(len(words)-1,1)+1),
+         i -> array_to_string(words[i:i+1], ' '))) as gram from w),
+ c as (select lang as grp, gram, count(*) as freq from g group by 1, 2)
+select grp, gram, freq,
+       row_number() over (partition by grp order by freq desc, gram asc) as rank
+from c qualify rank <= 10
 """,
         "rel_pricing_summary": """
 with li as (

@@ -1,0 +1,101 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+sampling, sequence packing, vocabulary statistics.
+
+Scale design notes:
+
+* **Sampling must be a pure function of the row, never ``rand()``.**  At
+  10^12 rows a sample drawn with RNG state is not reproducible across
+  task retries, resumes, or re-runs -- the same doc would flip in/out of
+  the corpus between attempts (poisoning dedup caches and train/eval
+  splits).  ``hash_sample`` derives the decision from md5(doc_id) so it
+  is stable everywhere and mirrorable in the SQL oracle.
+* **Sequence packing is the streaming concat-and-chunk scheme** used by
+  LLM training pipelines: documents are laid out in a deterministic
+  order per group, and a document starts a new pack when the running
+  token offset crosses the window.  One window shuffle per group key; no
+  driver-side loop.
+* **Top-k n-grams** is explode -> two-level aggregate -> windowed rank;
+  the heavy aggregate is (group, gram)-keyed (uniform), and only the
+  tiny per-group survivor set is ranked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_pct(col: Column, salt: str = "") -> Column:
+    """Deterministic [0,100) value from md5 of the key (oracle-mirrorable:
+    first 8 hex digits as a 32-bit integer, mod 100)."""
+    key = F.concat(col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+
+
+def hash_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~pct% of rows, decided by a pure hash of the id (reproducible
+    across retries/resumes/re-runs, unlike ``df.sample``/rand())."""
+    return df.filter(_hash_pct(F.col(id_col), salt) < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (training sequences).
+
+    Documents are ordered deterministically (by id) within each group;
+    a document belongs to pack ``floor(preceding_tokens / window)`` --
+    the standard concat-and-chunk layout.  Returns per-pack stats.  One
+    shuffle (window partition by group); pack count ~ total_tokens /
+    window_tokens.  At corpus scale, partition by group first and the
+    running sum stays partition-local.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    pack = F.floor((cum - F.col(tokens_col)) / F.lit(window_tokens))
+    return (
+        df.withColumn("pack_id", pack)
+        .groupBy(group_col, "pack_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(tokens_col).alias("pack_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 10,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k whitespace word n-grams per group by frequency (vocabulary /
+    contamination statistics).  Ties broken by gram ascending so the
+    result is deterministic and oracle-exact."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    exploded = df.select(
+        F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
+    )
+    counts = exploded.groupBy("grp", "gram").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -196,6 +196,56 @@ def test_sessionize_batch_vs_oracle_shape(spark):
     assert len(again) == len(rows)
 
 
+def test_hash_sample_deterministic_and_proportional(spark, docs):
+    from html2text_spark.operators.curation import hash_sample
+
+    a = {r["doc_id"] for r in hash_sample(docs, 10).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 10).select("doc_id").collect()}
+    assert a == b, "hash sampling must be reproducible"
+    n = docs.count()
+    assert 0.04 * n < len(a) < 0.2 * n, f"10% sample way off: {len(a)}/{n}"
+    # monotone: a 20% sample strictly contains the 10% sample
+    c = {r["doc_id"] for r in hash_sample(docs, 20).select("doc_id").collect()}
+    assert a <= c
+
+
+def test_pack_sequences_budget_invariants(spark, docs):
+    from html2text_spark.operators.curation import pack_sequences
+
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    packs = pack_sequences(with_tokens, window_tokens=256).collect()
+    assert sum(r["docs"] for r in packs) == docs.count()
+    # every pack except a group's last must have crossed the window
+    by_grp = {}
+    for r in packs:
+        by_grp.setdefault(r["source"], []).append(r)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        # pack ids are the contiguous chunk indices of the running offset
+        assert rows[0]["pack_id"] == 0
+        for r in rows[:-1]:
+            assert r["pack_tokens"] > 0
+        # doc ranges do not overlap across consecutive packs
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["last_doc"] <= nxt["first_doc"]
+
+
+def test_top_ngrams_rank_and_ties(spark, docs):
+    from html2text_spark.operators.curation import top_ngrams
+
+    out = top_ngrams(docs, n=2, k=5).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        freqs = [r["freq"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+
+
 def _run_session_stream(spark, stream, queryName, gap_minutes=30, **kw):
     from html2text_spark.streaming.sessions import sessionize_stream
 
