@@ -36,7 +36,10 @@ _WORDS = ["alpha", "beta", "gamma", "x<y", "a&b", "&amp;", "&#65;", "&bogus;",
           "<!-->", "<!--->", "<![CDATA[z]]>", "<!doctype html>", "<?pi?>",
           "</stray>", "<", "< notatag", "a=b",
           "&Delta;", "&Aacute;", "&THORN;x", "<a href>v</a>",
-          "<abbr title>T</abbr>", "<td nowrap>c</td>"]
+          "<abbr title>T</abbr>", "<td nowrap>c</td>",
+          # sentinel-literal injection: must round-trip, not decode
+          "__PH2T__", "__PH2T__ENT_amp__", "__PH2T__CHAR_65__",
+          "__PH2T__RAW_x__", "x__PH2T__y"]
 
 
 def _random_html(rng: random.Random, depth: int = 0) -> str:
