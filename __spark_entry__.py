@@ -430,6 +430,27 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(events, gap_minutes=30)
 
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (applyInPandasWithState, EventTimeTimeout)
+    driven to completeness: synthetic far-future clock events close every
+    real session, so the streamed append output equals the batch window
+    computation exactly -- the same DuckDB oracle verifies a stateful
+    Structured Streaming operator value-for-value."""
+    from html2text_spark.streaming.sessions import sessionize_events_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_events_complete(
+        spark,
+        events,
+        gap_minutes=30,
+        query_name=f"sessions_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_fake_media(_docs(spark, sf_dir))
     feats = M.extract_media_features(media)
@@ -464,6 +485,7 @@ def queries() -> dict[str, _Q]:
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_sessions_stream": q_events_sessions_stream,
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
@@ -775,6 +797,20 @@ from h l join h r on l.bucket = r.bucket and l.vec_id < r.vec_id
 where round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) >= 0.9
 """,
         "events_sessions": """
+with b as (
+  select user_id, ts,
+    case when lag(ts) over (partition by user_id order by ts) is null
+          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
+         then 1 else 0 end as boundary
+  from events),
+ s as (select user_id, ts,
+       sum(boundary) over (partition by user_id order by ts
+                           rows unbounded preceding) as sidx from b)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+       count(*)::INT as events
+from s group by user_id, sidx
+""",
+        "events_sessions_stream": """
 with b as (
   select user_id, ts,
     case when lag(ts) over (partition by user_id order by ts) is null

@@ -163,3 +163,66 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sessionize_events_complete(
+    spark,
+    events: DataFrame,
+    gap_minutes: int = 30,
+    work_dir: str = None,
+    query_name: str = "sessions_complete",
+) -> DataFrame:
+    """Run the STREAMING sessionizer over a finite event set and emit
+    EVERY real session -- an oracle-checkable streaming result.
+
+    The append-mode stream only emits a session once the event-time
+    watermark passes its end + gap, so a finite input normally leaves
+    each user's last session open in state.  Appending one synthetic
+    "clock" event per user far past the real horizon (a) closes every
+    real session by gap and (b) pushes the final watermark far enough
+    that all their timeouts fire in the post-batch no-data microbatch.
+    The clock sessions themselves stay open and are never emitted, so
+    the streamed output equals the batch sessionization of the real
+    events exactly -- which is what the DuckDB oracle computes.
+    """
+    import os
+    import tempfile
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="h2t_sessions_stream_")
+    in_dir = os.path.join(work_dir, "in")
+
+    horizon = events.agg(
+        F.max(F.col("ts").cast("timestamp")).alias("m")
+    ).collect()[0]["m"]
+    clock = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(horizon)
+            .cast("timestamp")
+            .alias("ts"),
+            F.lit("__clock__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        .withColumn("ts", F.timestamp_add("DAY", F.lit(10), F.col("ts")))
+    )
+    cols = ["user_id", "ts", "event_type", "value"]
+    events.select(*cols).unionAll(clock.select(*cols)).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=gap_minutes)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
