@@ -105,10 +105,15 @@ def _extraction_bench_levels(
     def one_round():
         for level in levels:
             t0 = time.perf_counter()
-            n_docs, n_bytes = extract(cached[level]).agg(
-                F.count("*"), F.sum("metrics.bytes_in")
+            n_docs, n_bytes, n_spans, n_malformed = extract(cached[level]).agg(
+                F.count("*"),
+                F.sum("metrics.bytes_in"),
+                F.sum("metrics.spans"),
+                F.sum(F.col("metrics.malformed").cast("int")),
             ).collect()[0]
-            totals[level] = (int(n_docs), int(n_bytes))
+            totals[level] = (
+                int(n_docs), int(n_bytes), int(n_spans), int(n_malformed)
+            )
             walls[level].append(time.perf_counter() - t0)
 
     for _ in range(rounds):
@@ -136,11 +141,13 @@ def _extraction_bench_levels(
 
     results = {}
     for level in levels:
-        n_docs, n_bytes = totals[level]
+        n_docs, n_bytes, n_spans, n_malformed = totals[level]
         best, med = min(walls[level]), _median(walls[level])
         results[level] = {
             "docs": n_docs,
             "mb_in": round(n_bytes / 1e6, 1),
+            "spans_per_doc": round(n_spans / n_docs, 4),
+            "malformed_rate": round(n_malformed / n_docs, 6),
             "wall_sec": round(best, 2),
             "wall_sec_median": round(med, 2),
             "round_wall_secs": [round(w, 2) for w in walls[level]],

@@ -186,8 +186,10 @@ def sessionize_events_complete(
     events exactly -- which is what the DuckDB oracle computes.
     """
     import os
+    import shutil
     import tempfile
 
+    cleanup = work_dir is None
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="h2t_sessions_stream_")
     in_dir = os.path.join(work_dir, "in")
@@ -225,4 +227,7 @@ def sessionize_events_complete(
         .start()
     )
     q.awaitTermination()
+    if cleanup:
+        # the memory sink holds the rows; the staged input is disposable
+        shutil.rmtree(work_dir, ignore_errors=True)
     return spark.table(query_name)
