@@ -322,6 +322,43 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         )
 
 
+def test_sessionize_stream_rocksdb_state_store(spark):
+    """The sessionizer must produce identical results on the RocksDB
+    state store (the at-scale backend: heap-independent state size,
+    changelog checkpointing)."""
+    from html2text_spark.streaming import recommended_streaming_conf
+    from html2text_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_events_complete,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id") < 40
+    )
+    prev = {
+        k: spark.conf.get(k, None) for k in recommended_streaming_conf()
+    }
+    for k, v in recommended_streaming_conf().items():
+        spark.conf.set(k, v)
+    try:
+        got = {
+            tuple(r)
+            for r in sessionize_events_complete(
+                spark, events, gap_minutes=30, query_name="sessions_rocksdb"
+            ).collect()
+        }
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    expected = {
+        tuple(r) for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert got == expected
+
+
 def test_sessionize_stream_event_time_late_events(spark, tmp_path):
     """Late/out-of-order events across micro-batches: a tolerated late
     event merges into the open session (extending it backward), a gap
