@@ -176,13 +176,65 @@ def salt_by_size(df: DataFrame, num_partitions: int) -> DataFrame:
     return salted.repartition(num_partitions, "_salt").drop("_salt")
 
 
+def spans_bytes_col(spans_col: str = "spans"):
+    """Approximate document weight: total text bytes across spans."""
+    return F.aggregate(
+        F.transform(spans_col, lambda s: F.length(s["text"])),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
+    )
+
+
+def salt_stratified(
+    df: DataFrame, num_partitions: int, big_bytes: int = 1 << 20
+) -> DataFrame:
+    """Size-stratified skew defusal: spread the monster tier cyclically.
+
+    ``salt_by_size`` places documents uniformly at random, which balances
+    *expected* load but still allows two 100 MB monsters to collide in
+    one partition (balls-in-bins variance) -- and one extra monster IS
+    the stage tail.  This variant splits the corpus at ``big_bytes``:
+
+    * the big tier (tiny by count) is globally sorted by size descending
+      and round-robin repartitioned -- consecutive ranks land in
+      distinct partitions, so partition k receives sizes ranked
+      {k, k+N, k+2N, ...}: the classic longest-processing-time layout
+      that bounds the byte spread to one monster;
+    * the small tier takes the uniform full-range hash salt as before.
+
+    The union concatenates both partitionings (2N narrow partitions into
+    the downstream projection).  Cost vs salt_by_size: one sort of the
+    big tier only -- negligible, its row count is tiny by definition.
+    """
+    sized = df.withColumn("_bytes", spans_bytes_col())
+    big = (
+        sized.filter(F.col("_bytes") >= big_bytes)
+        .orderBy(F.desc("_bytes"), F.asc("doc_id"))
+        .repartition(num_partitions)
+        .drop("_bytes")
+    )
+    small = salt_by_size(
+        sized.filter(F.col("_bytes") < big_bytes).drop("_bytes"),
+        num_partitions,
+    )
+    return big.unionAll(small)
+
+
 def extract(
     df: DataFrame,
     cfg: Optional[Config] = None,
     salt_partitions: Optional[int] = None,
+    stratify_bytes: Optional[int] = None,
 ) -> DataFrame:
-    """documents(doc_id, spans) -> extracted(doc_id, spans, metrics)."""
-    if salt_partitions:
+    """documents(doc_id, spans) -> extracted(doc_id, spans, metrics).
+
+    ``salt_partitions`` spreads documents uniformly (hash salt);
+    ``stratify_bytes`` additionally routes documents above that size
+    through the monster-tier cyclic layout (see salt_stratified).
+    """
+    if salt_partitions and stratify_bytes:
+        df = salt_stratified(df, salt_partitions, stratify_bytes)
+    elif salt_partitions:
         df = salt_by_size(df, salt_partitions)
     return df.select("doc_id", "spans").mapInPandas(
         make_extract_fn(cfg), OUTPUT_SCHEMA

@@ -132,6 +132,42 @@ def test_rel_late_priority_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_salt_stratified_spreads_monsters(spark):
+    """Size-stratified salting must place every monster document in a
+    DISTINCT partition (uniform hashing only balances expectation --
+    balls-in-bins lets two 100 MB monsters collide, and one extra
+    monster is the stage tail)."""
+    from html2text_spark.pipeline import salt_stratified
+    from html2text_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 1600, seed=13)
+    monsters = docs.limit(16).select(
+        F.concat(F.lit("m"), "doc_id").alias("doc_id"),
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.concat_ws("", F.array_repeat(s["text"], 200)).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = salt_stratified(docs.unionAll(monsters), 16, big_bytes=50_000)
+    # the big-tier sort must survive optimization (EliminateSorts would
+    # break the cyclic round-robin layout)
+    assert "Sort" in _plan(out)
+    placed = (
+        out.withColumn("p", F.spark_partition_id())
+        .filter(F.col("doc_id").startswith("m"))
+        .select("p")
+        .collect()
+    )
+    parts = [r["p"] for r in placed]
+    assert len(parts) == 16
+    assert len(set(parts)) == 16, f"monster collision: {sorted(parts)}"
+
+
 def test_salt_occupancy_uniform(spark):
     """The skew salt must actually fill partitions evenly -- plan-shape
     checks alone missed the balls-in-bins regression this guards against."""
