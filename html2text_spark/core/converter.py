@@ -1239,14 +1239,8 @@ def optwrap(text: str, cfg: Config, state: Optional[WrapState] = None) -> str:
 _FORCE_FALLBACK = False
 
 
-def _feed_document(parser: "_Parser", processed: str) -> None:
-    """Feed one complete pre-processed document: fast regex tokenizer when
-    eligible, html.parser.HTMLParser otherwise (identical event streams --
-    see _fast_tokenize)."""
-    events = None if _FORCE_FALLBACK else _fast_tokenize(processed)
-    if events is None:
-        parser.feed(processed)
-        return
+def _dispatch_events(parser: "_Parser", events: list) -> None:
+    """Replay fast-tokenizer events into the parser's handlers."""
     handle_data = parser.handle_data
     handle_tag = parser.handle_tag
     attr_dict = parser._attr_dict
@@ -1258,6 +1252,17 @@ def _feed_document(parser: "_Parser", processed: str) -> None:
             handle_tag(ev[1], attr_dict(ev[2]), start=True)
         else:
             handle_tag(ev[1], {}, start=False)
+
+
+def _feed_document(parser: "_Parser", processed: str) -> None:
+    """Feed one complete pre-processed document: fast regex tokenizer when
+    eligible, html.parser.HTMLParser otherwise (identical event streams --
+    see _fast_tokenize)."""
+    events = None if _FORCE_FALLBACK else _fast_tokenize(processed)
+    if events is None:
+        parser.feed(processed)
+        return
+    _dispatch_events(parser, events)
 
 
 def convert(html_text: str, cfg: Optional[Config] = None) -> str:
@@ -1330,13 +1335,33 @@ def convert_spans(
             coalesced.append((kind, text, media))
     spans = coalesced
     multi_fragment = sum(1 for k, _t, _m in spans if k == "html") > 1
-    for kind, text, media in spans:
+    # fast path for interleaved documents: if EVERY html fragment
+    # fast-tokenizes on its own, no fragment ends mid-token (the fast
+    # tokenizer rejects dangling '<'/unterminated constructs), so direct
+    # event dispatch is event-identical to HTMLParser's incremental
+    # feed -- which is only needed when a tag genuinely straddles a
+    # media boundary, and that case falls back whole-document below.
+    # Differentially fuzzed in tests/test_fast_tokenizer.py.
+    frag_events: Dict[int, Optional[list]] = {}
+    if multi_fragment and not _FORCE_FALLBACK:
+        for i, (kind, text, _media) in enumerate(spans):
+            if kind != "html":
+                continue
+            events = _fast_tokenize(_preprocess_entities(text))
+            if events is None:
+                frag_events.clear()
+                break
+            frag_events[i] = events
+    for i, (kind, text, media) in enumerate(spans):
         if kind == "html":
             if multi_fragment:
-                # fragments may split mid-tag across a media boundary;
-                # HTMLParser's incremental buffer handles that, the fast
-                # tokenizer does not
-                parser.feed(_preprocess_entities(text))
+                if frag_events:
+                    _dispatch_events(parser, frag_events[i])
+                else:
+                    # a fragment may split mid-tag across a media
+                    # boundary; HTMLParser's incremental buffer handles
+                    # that, the fast tokenizer does not
+                    parser.feed(_preprocess_entities(text))
             else:
                 _feed_document(parser, _preprocess_entities(text))
         elif kind == "media":

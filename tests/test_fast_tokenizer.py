@@ -76,6 +76,47 @@ def test_random_differential(seed):
     assert fast == slow, f"divergence seed={seed}\nhtml={html!r}"
 
 
+def _both_span_paths(spans, cfg=None):
+    fast = C.convert_spans(spans, cfg)
+    C._FORCE_FALLBACK = True
+    try:
+        slow = C.convert_spans(spans, cfg)
+    finally:
+        C._FORCE_FALLBACK = False
+    return fast, slow
+
+
+@pytest.mark.parametrize("seed", range(150))
+def test_random_differential_interleaved_spans(seed):
+    """Multi-fragment (html-media-html) documents take the per-fragment
+    fast dispatch when every fragment is eligible; the event stream must
+    equal HTMLParser's incremental feed across media boundaries."""
+    rng = random.Random(1000 + seed)
+    spans = []
+    offset = 0
+    for _ in range(rng.randint(2, 5)):
+        spans.append(("html", _random_html(rng), ""))
+        if rng.random() < 0.7:
+            spans.append(("media", "", f"asset://{rng.randint(0, 99)}"))
+        offset += 1
+    fast, slow = _both_span_paths(spans)
+    assert fast == slow, f"divergence seed={seed}\nspans={spans!r}"
+
+
+def test_interleaved_mid_tag_fragment_falls_back():
+    """A tag split across a media boundary must take the HTMLParser
+    incremental path and still parse (buffered across fragments)."""
+    spans = [
+        ("html", "<p>before <b", ""),
+        ("media", "", "asset://1"),
+        ("html", ">bold</b> after</p>", ""),
+    ]
+    fast, slow = _both_span_paths(spans)
+    assert fast == slow
+    text = "".join(t for k, t, _ in fast if k == "text")
+    assert "bold" in text and "after" in text
+
+
 @pytest.mark.parametrize(
     "html",
     [
