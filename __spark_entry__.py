@@ -76,7 +76,11 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HTML->markdown span extraction over sf0.001 documents."""
     docs = _docs(spark, "/root/testdata/sf0.001")
-    extracted = extract(adapt_flat_documents(docs), salt_partitions=8)
+    # stratified salt: monster tier (>= 1.5 KB here, so the smoke actually
+    # exercises both tiers) gets the cyclic LPT layout, rest uniform hash
+    extracted = extract(
+        adapt_flat_documents(docs), salt_partitions=8, stratify_bytes=1500
+    )
     # markdown preview derived from the spans column in the same
     # projection (a self-join here would run the extraction twice)
     return extracted.select(

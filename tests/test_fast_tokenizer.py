@@ -103,6 +103,47 @@ def test_random_differential_interleaved_spans(seed):
     assert fast == slow, f"divergence seed={seed}\nspans={spans!r}"
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+    _soup_alphabet = st.sampled_from(
+        list("<>&;/= \n\t\"'") + ["p", "b", "a", "em", "pre", "li", "ul",
+                                  "img", "x", "y", "amp", "#65", "--", "!",
+                                  "__PH2T__", "href", "src"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(_soup_alphabet, min_size=0, max_size=40))
+    def test_hypothesis_soup_differential(parts):
+        """Pathological tag soup: fast path and HTMLParser fallback must
+        convert identically (hypothesis shrinks any divergence to a
+        minimal reproducer)."""
+        html = "".join(parts)
+        fast, slow = _both_paths(html)
+        assert fast == slow, f"divergence on {html!r}"
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(_soup_alphabet, min_size=0, max_size=24), st.integers(1, 20))
+    def test_hypothesis_soup_spans_differential(parts, split):
+        """Same soup split across a media boundary: per-fragment dispatch
+        vs incremental HTMLParser feed."""
+        html = "".join(parts)
+        cut = min(split, len(html))
+        spans = [
+            ("html", html[:cut], ""),
+            ("media", "", "asset://h"),
+            ("html", html[cut:], ""),
+        ]
+        fast, slow = _both_span_paths(spans)
+        assert fast == slow, f"divergence on {html!r} split at {cut}"
+
+
 def test_interleaved_mid_tag_fragment_falls_back():
     """A tag split across a media boundary must take the HTMLParser
     incremental path and still parse (buffered across fragments)."""
