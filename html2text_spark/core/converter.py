@@ -46,7 +46,10 @@ _ENTITY_RE = re.compile(r"&(#[xX][0-9A-Fa-f]+|#[0-9]+|[A-Za-z][A-Za-z0-9]+);")
 # ASCII whitespace only, matching the reference's non-unicode /\s+/
 # (src/DataContainer.php:157)
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
-_WS_CHARS = ("  ", "\t", "\n", "\r", "\f", "\v")
+# collapse is only needed for a double space or a non-space ws char (a
+# lone single space is already collapsed); one C-level scan beats the
+# per-call genexpr this replaced in the o() hot path
+_WS_GUARD_RE = re.compile(r"[\t\n\r\f\v]|  ")
 
 #: tags with dedicated dispatch blocks in handle_tag; any other tag is a
 #: pass-through (outside googleDoc mode) and can exit the dispatch early
@@ -448,7 +451,7 @@ class _Parser(HTMLParser):
                 self.drop_white_space = 0
 
         if puredata and not self.pre:
-            if any(ws in data for ws in _WS_CHARS):
+            if _WS_GUARD_RE.search(data):
                 data = _WS_RE.sub(" ", data)
             if data and data[0] == " ":
                 self.space = True
