@@ -150,3 +150,25 @@ def synthetic_documents(
         spark.range(0, n_docs, 1, partitions)
         .mapInPandas(gen, INPUT_SCHEMA)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: Optional[str] = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    At warehouse scale the same fact tables join on the same keys every
+    day; bucketing both sides identically lets every subsequent join run
+    WITHOUT a shuffle -- each task reads matching buckets from both
+    sides.  The write pays one up-front hash distribution; every join
+    after that is exchange-free (verified in
+    tests/test_plans.py::test_bucketed_join_avoids_shuffle).
+    """
+    writer = df.write.bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.mode("overwrite").format("parquet").saveAsTable(table)

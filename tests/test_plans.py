@@ -132,6 +132,44 @@ def test_rel_late_priority_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """Fact tables bucketed identically on the join key must join with
+    ZERO exchanges on the join inputs -- the co-located join path that
+    daily warehouse jobs rely on at 100 TB (pay one hash distribution at
+    write time, never shuffle the join again)."""
+    from html2text_spark.sources import write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        write_bucketed(orders, "t_orders_bucketed", "o_orderkey", 8)
+        write_bucketed(li, "t_lineitem_bucketed", "l_orderkey", 8)
+        joined = (
+            spark.table("t_lineitem_bucketed")
+            .join(
+                spark.table("t_orders_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(joined)
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        # the only allowed exchange is the 5-key aggregate ABOVE the join
+        assert len(exchanges) <= 1, plan
+        for line in exchanges:
+            assert "o_orderpriority" in line, plan
+        # sanity: it is a real join, and values survive the bucketed IO
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists t_orders_bucketed")
+        spark.sql("drop table if exists t_lineitem_bucketed")
+
+
 def test_salt_stratified_spreads_monsters(spark):
     """Size-stratified salting must place every monster document in a
     DISTINCT partition (uniform hashing only balances expectation --
