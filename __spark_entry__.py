@@ -424,6 +424,15 @@ def q_rel_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_ranks(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        segment="BUILDING",
+        k=3,
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (batch shape; the
     streaming twin via applyInPandasWithState is tested for equivalence
@@ -497,6 +506,7 @@ def queries() -> dict[str, _Q]:
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_top_brands": q_rel_top_brands,
         "rel_late_priority": q_rel_late_priority,
+        "rel_customer_order_ranks": q_rel_customer_order_ranks,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -943,6 +953,22 @@ with late as (
 select o_orderpriority, count(*) as late_orders
 from orders join late on o_orderkey = l_orderkey
 group by o_orderpriority
+""",
+        "rel_customer_order_ranks": """
+with o as (
+  select o_custkey, o_orderkey, round(o_totalprice*100)::BIGINT as price_cents
+  from orders join customer on o_custkey = c_custkey
+  where c_mktsegment = 'BUILDING'),
+ r as (
+  select o_custkey, o_orderkey, price_cents,
+    row_number() over (partition by o_custkey
+                       order by price_cents desc, o_orderkey asc) as rank,
+    sum(price_cents) over (partition by o_custkey
+                           order by price_cents desc, o_orderkey asc
+                           rows unbounded preceding)::BIGINT as cum_cents
+  from o)
+select o_custkey, o_orderkey, price_cents, rank, cum_cents
+from r where rank <= 3
 """,
         "metrics_by_lang": """
 select lang, count(*) as docs,

@@ -169,3 +169,33 @@ def late_shipment_priority(
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("late_orders"))
     )
+
+
+def customer_order_ranks(
+    orders: DataFrame, customer: DataFrame, segment: str = "BUILDING", k: int = 3
+) -> DataFrame:
+    """Analytic windows over the fact table: per-customer order rank by
+    spend and running cumulative spend (integer cents), top-k per
+    customer.  One shuffle on the window key; the segment filter is
+    pushed to the customer scan and applied before the join.
+    """
+    from pyspark.sql import Window
+
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("price_cents"), F.asc("o_orderkey")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "price_cents",
+            F.row_number().over(w).alias("rank"),
+            F.sum("price_cents").over(run).alias("cum_cents"),
+        )
+        .filter(F.col("rank") <= k)
+    )
