@@ -170,6 +170,35 @@ def test_html_to_md_udf(spark):
     assert row["md"] == "# T\n\nbody\n\n"
 
 
+def test_html_spans_udtf(spark):
+    """SQL users can explode a document into converter span rows via the
+    lateral UDTF surface."""
+    from html2text_spark.functions.udtfs import register_all
+
+    register_all(spark)
+    rows = spark.sql(
+        "select s.* from html_spans('<h1>T</h1><p>body</p>') s"
+    ).collect()
+    assert [(r["kind"], r["text"], r["offset"]) for r in rows] == [
+        ("text", "# T\n\nbody\n\n", 0)
+    ]
+    # lateral join over a table of documents
+    spark.createDataFrame(
+        [("1", "<p>a</p><img src='x.png'>tail")], "doc_id string, html string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "select d.doc_id, s.kind, s.media_ref, s.offset "
+        "from udtf_docs d, lateral html_spans(d.html) s order by s.offset"
+    ).collect()
+    kinds = [r["kind"] for r in rows]
+    # one html fragment = one segment: text first, media refs drained at
+    # the segment end (media spans interleave only across fragments)
+    assert kinds == ["text", "media_ref"]
+    assert rows[1]["media_ref"] == "x.png"
+    # malformed / NULL rows never fail the query
+    assert spark.sql("select * from html_spans(NULL)").count() == 0
+
+
 def test_salt_by_size_plan_is_single_exchange(spark):
     docs = synthetic_documents(spark, 10, seed=1)
     plan = extract(docs, salt_partitions=8)._jdf.queryExecution().executedPlan().toString()
