@@ -62,7 +62,7 @@ def _extraction_bench_levels(
     rounds: int = 5,
     scaling_pair=None,
     scaling_target: float = 0.8,
-    max_extra_rounds: int = 6,
+    max_extra_rounds: int = 3,
 ):
     """Time extract+count at several parallelism levels in ONE session.
 
@@ -184,18 +184,39 @@ def main() -> int:
         "corpus_curation",
         "metrics_by_lang",
     ]
+    # round-2 additions, timed separately so `value` stays comparable
+    # with BENCH_r01 (same headline set)
+    extra = [
+        "extract_markdown_stats",
+        "rel_pricing_summary",
+        "rel_revenue_by_nation",
+        "rel_top_brands",
+        "rel_late_priority",
+        "rel_customer_order_ranks",
+        "curation_sample",
+        "curation_pack",
+        "curation_ngrams",
+        "sim_ivf_det_topk",
+    ]
     queries = entry_mod.queries()
-    q_times = {}
-    for name in headline:
+
+    def _time_query(name, runs=2):
         best = None
-        for _ in range(2):  # best-of-2: first run pays JIT + worker spin-up
+        for _ in range(runs):  # first run pays JIT + worker spin-up
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
             if best is None or wall < best:
                 best = wall
-        q_times[name] = round(best, 3)
+        return round(best, 3)
+
+    t_phase = time.time()
+    q_times = {name: _time_query(name, runs=2) for name in headline}
+    # informational only: single run keeps the bench inside the driver's
+    # time budget
+    extra_times = {name: _time_query(name, runs=1) for name in extra}
+    print(f"[bench] query phase {time.time()-t_phase:.0f}s", file=sys.stderr)
 
     # ---- phase 2: materialize the deterministic skewed HTML corpus ----
     from html2text_spark.sources import synthetic_documents
@@ -222,10 +243,12 @@ def main() -> int:
         spark,
         corpus_dir,
         [n_low, n_high, CPUS],
-        rounds=7,
+        rounds=6,
         scaling_pair=(n_low, n_high),
         scaling_target=0.8,
     )
+    print(f"[bench] scaling phase done {time.time()-t_phase:.0f}s total",
+          file=sys.stderr)
     spark.stop()
     low, high, full = levels[n_low], levels[n_high], levels[CPUS]
 
@@ -234,6 +257,7 @@ def main() -> int:
         "value": round(sum(q_times.values()), 3),
         "unit": "sec",
         "queries": q_times,
+        "extra_queries": extra_times,
         "sf": sf_val,
         "extraction": {
             "corpus_docs": BENCH_DOCS,
