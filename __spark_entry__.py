@@ -424,6 +424,12 @@ def q_rel_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.supplier_balance_by_nation(
+        _tbl(spark, sf_dir, "supplier"), _tbl(spark, sf_dir, "nation")
+    )
+
+
 def q_rel_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_order_ranks(
         _tbl(spark, sf_dir, "orders"),
@@ -507,6 +513,7 @@ def queries() -> dict[str, _Q]:
         "rel_top_brands": q_rel_top_brands,
         "rel_late_priority": q_rel_late_priority,
         "rel_customer_order_ranks": q_rel_customer_order_ranks,
+        "rel_supplier_balance": q_rel_supplier_balance,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -953,6 +960,14 @@ with late as (
 select o_orderpriority, count(*) as late_orders
 from orders join late on o_orderkey = l_orderkey
 group by o_orderpriority
+""",
+        "rel_supplier_balance": """
+select n_name, count(*) as suppliers,
+       sum(round(s_acctbal*100)::BIGINT)::BIGINT as balance_cents
+from supplier join nation on s_nationkey = n_nationkey
+where round(s_acctbal*100)::BIGINT > 0
+group by n_name
+order by balance_cents desc, n_name asc
 """,
         "rel_customer_order_ranks": """
 with o as (

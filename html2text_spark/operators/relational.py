@@ -171,6 +171,28 @@ def late_shipment_priority(
     )
 
 
+def supplier_balance_by_nation(
+    supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Supplier account-balance rollup per nation (broadcast dim join +
+    hash agg; balances in exact integer cents)."""
+    s = supplier.select(
+        "s_nationkey", _cents("s_acctbal").alias("bal_cents")
+    ).filter(F.col("bal_cents") > 0)
+    joined = s.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("suppliers"),
+            F.sum("bal_cents").alias("balance_cents"),
+        )
+        .orderBy(F.desc("balance_cents"), F.asc("n_name"))
+    )
+
+
 def customer_order_ranks(
     orders: DataFrame, customer: DataFrame, segment: str = "BUILDING", k: int = 3
 ) -> DataFrame:
