@@ -186,6 +186,114 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Candidate pairs -> duplicate clusters: (doc_id, cluster_id).
+
+    ``cluster_id`` is the minimum doc_id reachable through the pair graph
+    (the connected component's canonical label).  Algorithm: iterative
+    min-label propagation -- each round every node adopts the smallest
+    label among itself and its neighbors, until a fixpoint.
+
+    Scale notes (the 100 TB design question):
+      * each round is ONE shuffle join (labels |x| edges on the uniform
+        node key) plus one aggregate; the edge table is candidate pairs,
+        which LSH banding already reduced to a sliver of the corpus;
+      * rounds needed = graph diameter.  Near-dup clusters are dense
+        (every member collides with most others in some band), so real
+        diameters are small single digits; ``max_iters`` bounds
+        pathological chains, and the loop exits as soon as a round makes
+        no change (an O(1)-row driver aggregate, not a collect of data);
+      * each round's labels are ``localCheckpoint``-ed: persist alone
+        keeps the nested logical plan, which DOUBLES per round (the join
+        references the previous round twice) and OOMs the driver on plan
+        strings long before data is a problem.  Checkpointing cuts the
+        lineage to O(1) per round; on a real cluster prefer
+        ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+        executor-loss resilience (localCheckpoint blocks are not
+        recoverable), which is a one-line swap here.
+
+    The exact fixpoint is mirrored by the DuckDB oracle's recursive CTE
+    (min over the transitive closure), so the operator is value-checkable.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # candidate label for each dst = min label among its neighbors;
+        # new label = min(own, neighborhood)
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, labels["doc_id"] == prop["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: plan doubles per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def resolve_clusters(pairs: DataFrame) -> DataFrame:
+    """Full cluster resolution over candidate pairs: per member, its
+    cluster id, the cluster size, and the canonical flag (minimum doc_id
+    represents the cluster -- keep it, drop the rest)."""
+    comp = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def canonical_filter(
+    corpus: DataFrame, pairs: DataFrame, doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates from a corpus given candidate pairs: keeps
+    every document that is either unclustered (appears in no pair) or its
+    cluster's canonical member.  One anti-join on the (small) non-
+    canonical member set -- the corpus itself is never shuffled twice."""
+    losers = resolve_clusters(pairs).filter(~F.col("is_canonical"))
+    return corpus.join(
+        losers.select(F.col("doc_id").alias(doc_id_col)),
+        on=doc_id_col,
+        how="left_anti",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     group_col: str,

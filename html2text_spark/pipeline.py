@@ -130,8 +130,14 @@ def _convert_row_spans(raw_spans, cfg: Config):
     }
 
 
-def make_extract_fn(cfg: Optional[Config] = None):
-    """Build the mapInPandas batch function (closure captures the config)."""
+def make_extract_fn(cfg: Optional[Config] = None, passthrough: tuple = ()):
+    """Build the mapInPandas batch function (closure captures the config).
+
+    ``passthrough`` columns ride along the projection unchanged: carrying
+    a grouping key (e.g. ``lang``) through the extraction costs nothing
+    here, whereas recovering it later means a corpus-x-corpus join -- and
+    broadcasting a corpus-sized side is a driver OOM at design scale.
+    """
     cfg = cfg or Config()
 
     def extract_batches(
@@ -144,13 +150,14 @@ def make_extract_fn(cfg: Optional[Config] = None):
                 spans, metrics = _convert_row_spans(raw, cfg)
                 out_spans_col.append(spans)
                 metrics_col.append(metrics)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "spans": out_spans_col,
-                    "metrics": metrics_col,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "spans": out_spans_col,
+                "metrics": metrics_col,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return extract_batches
 
@@ -225,19 +232,26 @@ def extract(
     cfg: Optional[Config] = None,
     salt_partitions: Optional[int] = None,
     stratify_bytes: Optional[int] = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """documents(doc_id, spans) -> extracted(doc_id, spans, metrics).
 
     ``salt_partitions`` spreads documents uniformly (hash salt);
     ``stratify_bytes`` additionally routes documents above that size
     through the monster-tier cyclic layout (see salt_stratified).
+    ``passthrough`` names input columns to carry through unchanged
+    (appended after ``metrics`` with their input types) -- the scale-safe
+    way to keep grouping keys: no post-hoc join against the corpus.
     """
     if salt_partitions and stratify_bytes:
         df = salt_stratified(df, salt_partitions, stratify_bytes)
     elif salt_partitions:
         df = salt_by_size(df, salt_partitions)
-    return df.select("doc_id", "spans").mapInPandas(
-        make_extract_fn(cfg), OUTPUT_SCHEMA
+    schema = StructType(
+        list(OUTPUT_SCHEMA.fields) + [df.schema[c] for c in passthrough]
+    )
+    return df.select("doc_id", "spans", *passthrough).mapInPandas(
+        make_extract_fn(cfg, passthrough), schema
     )
 
 

@@ -39,11 +39,15 @@ def fixture_documents(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, INPUT_SCHEMA)
 
 
-def adapt_flat_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+def adapt_flat_documents(
+    df: DataFrame, text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
     """Adapt a flat (doc_id, text, ...) table to the interleaved-span shape.
 
     Pure built-in expressions -- no Python; the wrap is a zero-shuffle
-    projection so filters on doc_id still push down to the scan.
+    projection so filters on doc_id still push down to the scan.  ``keep``
+    names extra columns to retain (e.g. a grouping key to carry through
+    the extraction); by default the scan stays pruned to (doc_id, text).
     """
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -55,6 +59,7 @@ def adapt_flat_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(0).cast("int").alias("offset"),
             )
         ).alias("spans"),
+        *keep,
     )
 
 

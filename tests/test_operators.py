@@ -61,6 +61,51 @@ def test_simhash_near_dups(spark, docs):
     assert planted <= found
 
 
+def test_connected_components_transitive_chain(spark):
+    """a<->b and b<->c candidates (NO a<->c pair) must still land all
+    three docs in ONE cluster with min-id canonical labeling -- the
+    transitive-closure property candidate pairs alone don't give you."""
+    from html2text_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 20)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in resolve_clusters(pairs).collect()}
+    assert {rows[d]["cluster_id"] for d in (1, 2, 3)} == {1}
+    assert all(rows[d]["cluster_size"] == 3 for d in (1, 2, 3))
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    # independent 2-cliques keep their own labels; orientation of the
+    # pair (30, 20) must not matter for the min-label
+    assert rows[10]["cluster_id"] == 10 and rows[11]["cluster_id"] == 10
+    assert rows[20]["cluster_id"] == 20 and rows[30]["cluster_id"] == 20
+    assert rows[20]["is_canonical"] and not rows[30]["is_canonical"]
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 9-node path graph (diameter 8) exercises multi-round label
+    propagation; every node must converge to the global min."""
+    from html2text_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(pairs).collect()
+    assert len(out) == 9
+    assert all(r["cluster_id"] == 1 for r in out)
+
+
+def test_canonical_filter_keeps_unclustered_and_canonical(spark, docs):
+    from html2text_spark.operators.dedup import canonical_filter
+
+    corpus = docs.select("doc_id", "text").limit(30)
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 7), (9, 11)], "doc_a long, doc_b long"
+    )
+    kept = {r["doc_id"] for r in canonical_filter(corpus, pairs).collect()}
+    assert 0 in kept and 9 in kept          # canonical members stay
+    assert 5 not in kept and 7 not in kept and 11 not in kept
+    assert 13 in kept and 29 in kept        # unclustered docs untouched
+
+
 def test_ngram_jaccard_identical_docs(spark, docs):
     from html2text_spark.operators.dedup import ngram_jaccard_pairs
 
