@@ -118,14 +118,21 @@ def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashable oracle for the flagship markdown output: the REAL
     converter runs (body_width=0, full tag/entity/escape machinery) over
     HTML constructed from the document text; for this corpus's plain
-    single-spaced text the exact output is analytically derivable, so the
-    full markdown string -- not just counts -- is value-hashed against
-    the DuckDB oracle.  Any converter regression (heading prefix,
-    paragraph break, whitespace, trailing-newline rule) breaks the hash.
+    single-spaced lowercase text the exact output is analytically
+    derivable, so the full markdown string -- not just counts -- is
+    value-hashed against the DuckDB oracle.  Covers headings, paragraphs,
+    list items (`  * w`), an inline link (`[w](url)`), emphasis (`_w_`),
+    strong (`**w**`) and blockquote (`> w`) -- reference semantics per
+    /root/reference/src/Processors/TagProcessor.php:123 (headers), :420
+    (li), :595 (a end), :210/:233 (em/strong), :199 (blockquote).  Any
+    converter regression in these paths breaks a CORRECTNESS hash, not
+    just pytest.
     """
     from html2text_spark.core.config import Config
 
     docs = _docs(spark, sf_dir)
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
     html_docs = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(
@@ -136,7 +143,21 @@ def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.substring("text", 1, 48),
                     F.lit("</h1><p>"),
                     F.substring("text", 1, 200),
-                    F.lit("</p>"),
+                    F.lit("</p><ul><li>"),
+                    w1,
+                    F.lit("</li><li>"),
+                    w2,
+                    F.lit('</li></ul><p><a href="http://example.com/'),
+                    F.col("doc_id").cast("string"),
+                    F.lit('">'),
+                    w1,
+                    F.lit("</a> <em>"),
+                    w2,
+                    F.lit("</em> <strong>"),
+                    w1,
+                    F.lit("</strong></p><blockquote>"),
+                    w2,
+                    F.lit("</blockquote>"),
                 ).alias("text"),
                 F.lit("").alias("media_ref"),
                 F.lit(0).cast("int").alias("offset"),
@@ -766,7 +787,15 @@ from documents
 with md as (
   select doc_id,
     '# ' || substr(text, 1, 48) || chr(10) || chr(10)
-         || substr(text, 1, 200) || chr(10) as markdown
+         || substr(text, 1, 200) || chr(10) || chr(10)
+         || '  * ' || split_part(text, ' ', 1) || chr(10)
+         || '  * ' || split_part(text, ' ', 2) || chr(10)
+         || chr(10) || chr(10) || chr(10)
+         || '[' || split_part(text, ' ', 1) || '](http://example.com/'
+                || doc_id::VARCHAR || ') _' || split_part(text, ' ', 2)
+                || '_ **' || split_part(text, ' ', 1) || '**'
+                || chr(10) || chr(10)
+         || '> ' || split_part(text, ' ', 2) || chr(10) as markdown
   from documents)
 select doc_id, markdown,
   length(markdown)::INT as md_len,

@@ -30,11 +30,17 @@ def make_html_spans_udtf(cfg: Optional[Config] = None):
     @udtf(returnType="kind: string, text: string, media_ref: string, offset: int")
     class HtmlSpans:
         def eval(self, html: Optional[str]) -> Iterator[Tuple]:
+            """NULL input yields no rows; a document that fails
+            conversion yields one kind='error' sentinel row (offset -1)
+            instead of vanishing -- silent drop-on-error would make data
+            loss undetectable from SQL results (the extract path surfaces
+            the same condition as metrics.malformed)."""
             if html is None:
                 return
             try:
                 out = convert_spans([("html", html, "")], cfg)
-            except Exception:
+            except Exception as exc:
+                yield "error", type(exc).__name__, "", -1
                 return
             for i, (kind, text, media) in enumerate(out):
                 yield kind, text, media, i

@@ -12,6 +12,13 @@ extracts HTML also joins usage/metadata tables).  Design notes for the
   exact percent, so ``round(x*100)::bigint`` is lossless and every
   aggregate below is exact integer arithmetic -- deterministic at any
   parallelism.
+* **Wide accumulators for cent-percent units.**  charge is
+  cents*percent*percent (~2e11 per row): a LongType sum wraps silently
+  past int64 at around 5e7 such rows per group with ANSI off, while the
+  DuckDB oracle promotes to HUGEINT -- a silent divergence exactly at
+  the advertised fact scale.  All cent-percent sums therefore accumulate
+  as decimal(38,0) (128-bit in Tungsten, still exact integer arithmetic)
+  and only the final one-row-per-group result is cast back to bigint.
 * **Dimension joins are explicit broadcasts** (nation/region/part are
   tiny even at 100 TB fact scale); the fact-fact joins (orders x
   lineitem, customer x orders) shuffle on their keys, which are uniform
@@ -36,6 +43,12 @@ def _pct(col: str) -> Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def _sum_wide(col: Column) -> Column:
+    """Sum an integer expression through a 128-bit decimal accumulator
+    (exact past int64; see module docstring) and return it as bigint."""
+    return F.sum(col.cast("decimal(38,0)")).cast("long")
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: pricing summary report over lineitem.
 
@@ -55,9 +68,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     charge = disc * (F.lit(100) + F.col("tax_pct"))
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("qty").alias("sum_qty"),
-        F.sum("base_cents").alias("sum_base_cents"),
-        F.sum(disc).alias("sum_disc_cp"),
-        F.sum(charge).alias("sum_charge_cpp"),
+        _sum_wide(F.col("base_cents")).alias("sum_base_cents"),
+        _sum_wide(disc).alias("sum_disc_cp"),
+        _sum_wide(charge).alias("sum_charge_cpp"),
         F.count("*").alias("count_order"),
     )
     return agg.select(
@@ -111,7 +124,7 @@ def revenue_by_nation(
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.sum("rev_cp").alias("revenue_cp"))
+        .agg(_sum_wide(F.col("rev_cp")).alias("revenue_cp"))
         .orderBy(F.desc("revenue_cp"), F.asc("n_name"))
     )
 
@@ -133,7 +146,7 @@ def top_brands(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame:
     return (
         joined.groupBy("p_brand")
         .agg(
-            F.sum("rev_cp").alias("revenue_cp"),
+            _sum_wide(F.col("rev_cp")).alias("revenue_cp"),
             F.sum("qty").alias("total_qty"),
             F.count("*").alias("n_lines"),
         )
@@ -187,7 +200,7 @@ def supplier_balance_by_nation(
         joined.groupBy("n_name")
         .agg(
             F.count("*").alias("suppliers"),
-            F.sum("bal_cents").alias("balance_cents"),
+            _sum_wide(F.col("bal_cents")).alias("balance_cents"),
         )
         .orderBy(F.desc("balance_cents"), F.asc("n_name"))
     )

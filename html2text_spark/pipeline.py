@@ -192,6 +192,38 @@ def spans_bytes_col(spans_col: str = "spans"):
     )
 
 
+def _routing_keys(spark, num_partitions: int) -> list:
+    """Integer keys k_0..k_{n-1} with pmod(hash(k_p), n) == p.
+
+    ``repartition(n, col)`` routes a row to pmod(hash(col), n); there is
+    no public "send this row to partition p" API in the DataFrame layer.
+    Probing Spark's own hash for preimages of every residue turns the
+    hash partitioner into an EXACT router: emit k_p and the row lands in
+    partition p, deterministically.  The probe is one tiny job (64n
+    rows, driver-collects n ints) and is widened in the astronomically
+    unlikely case (P ~ n*e^-64) a residue is missing.
+    """
+    width = 64 * num_partitions
+    for _ in range(4):
+        rows = (
+            spark.range(0, width)
+            .select(
+                F.col("id").cast("int").alias("k"),
+                F.pmod(
+                    F.hash(F.col("id").cast("int")), F.lit(num_partitions)
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("k").alias("k"))
+            .collect()
+        )
+        keys = {r["p"]: r["k"] for r in rows}
+        if len(keys) == num_partitions:
+            return [keys[p] for p in range(num_partitions)]
+        width *= 8
+    raise RuntimeError("hash preimage probe failed")  # unreachable
+
+
 def salt_stratified(
     df: DataFrame, num_partitions: int, big_bytes: int = 1 << 20
 ) -> DataFrame:
@@ -202,23 +234,41 @@ def salt_stratified(
     one partition (balls-in-bins variance) -- and one extra monster IS
     the stage tail.  This variant splits the corpus at ``big_bytes``:
 
-    * the big tier (tiny by count) is globally sorted by size descending
-      and round-robin repartitioned -- consecutive ranks land in
-      distinct partitions, so partition k receives sizes ranked
-      {k, k+N, k+2N, ...}: the classic longest-processing-time layout
-      that bounds the byte spread to one monster;
+    * the big tier (tiny by count) is ranked by size descending
+      (row_number over a global window -- single-task, fine for a tier
+      that is <<1% of rows by construction) and routed to partition
+      (rank-1) mod N **exactly**, via hash-preimage routing keys (see
+      _routing_keys).  Partition k therefore receives sizes ranked
+      {k+1, k+1+N, k+1+2N, ...}: the classic longest-processing-time
+      layout that bounds the per-partition byte spread to one monster.
+      (A plain round-robin ``repartition(n)`` does NOT guarantee this:
+      sortBeforeRepartition re-sorts each upstream partition by row
+      bytes for retry determinism, and each upstream partition picks an
+      independent random start -- two monsters can collide.)
     * the small tier takes the uniform full-range hash salt as before.
 
     The union concatenates both partitionings (2N narrow partitions into
-    the downstream projection).  Cost vs salt_by_size: one sort of the
-    big tier only -- negligible, its row count is tiny by definition.
+    the downstream projection).
     """
+    from pyspark.sql import Window
+
     sized = df.withColumn("_bytes", spans_bytes_col())
+    keys = _routing_keys(df.sparkSession, num_partitions)
+    route = F.element_at(
+        F.array(*[F.lit(k) for k in keys]),
+        (F.pmod(F.col("_rk") - 1, F.lit(num_partitions))).cast("int") + 1,
+    )
     big = (
         sized.filter(F.col("_bytes") >= big_bytes)
-        .orderBy(F.desc("_bytes"), F.asc("doc_id"))
-        .repartition(num_partitions)
-        .drop("_bytes")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("_bytes"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("_route", route)
+        .repartition(num_partitions, "_route")
+        .drop("_bytes", "_rk", "_route")
     )
     small = salt_by_size(
         sized.filter(F.col("_bytes") < big_bytes).drop("_bytes"),

@@ -184,6 +184,15 @@ def sessionize_events_complete(
     The clock sessions themselves stay open and are never emitted, so
     the streamed output equals the batch sessionization of the real
     events exactly -- which is what the DuckDB oracle computes.
+
+    SINGLE-BATCH ASSUMPTION: the clock trick is only sound if no real
+    event is read *after* a clock event has advanced the watermark (it
+    would be dropped as late).  The staged input is therefore coalesced
+    to ONE parquet file, which the file source necessarily admits in one
+    micro-batch; callers re-staging the input themselves must not set
+    maxFilesPerTrigger / split the files.  (The general operator
+    ``sessionize_stream`` has no such assumption -- this helper is the
+    finite-input completion harness.)
     """
     import os
     import shutil
@@ -211,7 +220,10 @@ def sessionize_events_complete(
         .withColumn("ts", F.timestamp_add("DAY", F.lit(10), F.col("ts")))
     )
     cols = ["user_id", "ts", "event_type", "value"]
-    events.select(*cols).unionAll(clock.select(*cols)).write.mode(
+    # ONE file => ONE micro-batch: a multi-file stage could admit clock
+    # rows before real events, jump the watermark 10 days ahead and
+    # silently drop the rest as late (see docstring)
+    events.select(*cols).unionAll(clock.select(*cols)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(in_dir)
 

@@ -214,8 +214,7 @@ def test_salt_stratified_spreads_monsters(spark):
         ).alias("spans"),
     )
     out = salt_stratified(docs.unionAll(monsters), 16, big_bytes=50_000)
-    # the big-tier sort must survive optimization (EliminateSorts would
-    # break the cyclic round-robin layout)
+    # the big-tier rank window's sort must survive optimization
     assert "Sort" in _plan(out)
     placed = (
         out.withColumn("p", F.spark_partition_id())
@@ -226,6 +225,58 @@ def test_salt_stratified_spreads_monsters(spark):
     parts = [r["p"] for r in placed]
     assert len(parts) == 16
     assert len(set(parts)) == 16, f"monster collision: {sorted(parts)}"
+
+
+def test_salt_stratified_oversubscribed_monsters_balanced(spark):
+    """With MORE monsters than partitions the exact (rank-1) mod N
+    routing must give every partition exactly monsters/N of them --
+    round-robin repartition only promises this in expectation (random
+    per-upstream-partition starts), which is exactly the failure mode
+    the hash-preimage router removes."""
+    from html2text_spark.pipeline import salt_stratified
+    from html2text_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 800, seed=7)
+    monsters = docs.limit(32).select(
+        F.concat(F.lit("m"), "doc_id").alias("doc_id"),
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.concat_ws("", F.array_repeat(s["text"], 200)).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = salt_stratified(docs.unionAll(monsters), 16, big_bytes=50_000)
+    placed = (
+        out.withColumn("p", F.spark_partition_id())
+        .filter(F.col("doc_id").startswith("m"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    counts = {r["p"]: r["count"] for r in placed}
+    assert len(counts) == 16, f"only {len(counts)} partitions got monsters"
+    assert all(c == 2 for c in counts.values()), counts
+
+
+def test_routing_keys_route_exactly(spark):
+    """The hash-preimage keys must route to their residue partition."""
+    from html2text_spark.pipeline import _routing_keys
+
+    n = 16
+    keys = _routing_keys(spark, n)
+    assert len(set(keys)) == n
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    placed = (
+        df.repartition(n, "k")
+        .withColumn("p", F.spark_partition_id())
+        .collect()
+    )
+    got = {r["k"]: r["p"] for r in placed}
+    assert [got[k] for k in keys] == list(range(n))
 
 
 def test_salt_occupancy_uniform(spark):

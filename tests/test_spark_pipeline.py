@@ -153,11 +153,84 @@ def test_checkpoint_resume(spark, tmp_path):
     assert completed_buckets(out) == [0, 1, 2, 3]
 
 
+def test_checkpoint_crash_mid_wave_exactly_once(spark, tmp_path):
+    """Crash BETWEEN data commit and manifest publish, with the dead
+    wave leaving partial AND duplicated orphan files behind: the
+    unmanifested bucket must be recomputed via dynamic-partition
+    overwrite (replacing whatever the crashed task left), and the final
+    output must be exactly-once -- every doc_id exactly once.  This
+    proves the manifest-after-data ordering claim, not just the happy
+    resume."""
+    import glob
+    import shutil
+
+    out = str(tmp_path / "run_crash")
+    docs = synthetic_documents(spark, 40, seed=3)
+    s1 = run_extraction_checkpointed(
+        spark, docs, out, num_buckets=4, buckets_per_wave=2,
+        input_lineage="synthetic-seed3",
+    )
+    assert s1["docs"] == 40
+    # simulate the crashed wave: manifest for bucket 1 never published...
+    os.remove(os.path.join(out, "_manifests", "part-1.json"))
+    bucket_dir = os.path.join(out, "data", "bucket=1")
+    files = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+    assert files
+    # ...and the task died mid-write: one orphan DUPLICATE data file
+    # (a naive append-on-resume would double those rows)...
+    shutil.copy(files[0], os.path.join(bucket_dir, "part-orphan.parquet"))
+    # ...plus a second bucket (same wave) lost its data AND manifest
+    os.remove(os.path.join(out, "_manifests", "part-3.json"))
+    shutil.rmtree(os.path.join(out, "data", "bucket=3"))
+
+    s2 = run_extraction_checkpointed(
+        spark, docs, out, num_buckets=4, buckets_per_wave=2,
+        input_lineage="synthetic-seed3",
+    )
+    assert sorted(s2["ran_buckets"]) == [1, 3]
+    assert sorted(s2["resumed_buckets"]) == [0, 2]
+    total = read_extracted(spark, out)
+    assert total.count() == 40
+    assert total.select("doc_id").distinct().count() == 40
+    assert completed_buckets(out) == [0, 1, 2, 3]
+
+
 def test_resume_filter_anti_join(spark):
     docs = synthetic_documents(spark, 20, seed=5)
     done = extract(docs.limit(12))
     remaining = resume_filter(docs, done)
     assert remaining.count() == 8
+
+
+def test_iceberg_roundtrip_or_skip(spark, tmp_path):
+    """Write+read a documents table through sources.read_documents's
+    `iceberg:` branch when the Iceberg runtime jar is on the classpath;
+    skip with a clear message when it is not (this sandbox ships no
+    iceberg-spark-runtime jar -- documented in README).  Keeps the
+    `iceberg:` path from being dead-in-every-environment code."""
+    from html2text_spark.sources import read_documents
+
+    try:
+        spark.conf.set(
+            "spark.sql.catalog.h2t_ice",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set("spark.sql.catalog.h2t_ice.type", "hadoop")
+        spark.conf.set(
+            "spark.sql.catalog.h2t_ice.warehouse", str(tmp_path / "wh")
+        )
+        docs = synthetic_documents(spark, 10, seed=9)
+        docs.writeTo("h2t_ice.db.docs").using("iceberg").createOrReplace()
+    except Exception as exc:  # jar absent -> catalog class not found
+        pytest.skip(
+            "Iceberg runtime not on the classpath in this environment: "
+            f"{type(exc).__name__}"
+        )
+    out = read_documents(spark, "iceberg:h2t_ice.db.docs")
+    assert out.count() == 10
+    assert set(out.columns) == {"doc_id", "spans"}
+    # the adapted table must run through the extraction unchanged
+    assert extract(out).count() == 10
 
 
 def test_html_to_md_udf(spark):
@@ -197,6 +270,26 @@ def test_html_spans_udtf(spark):
     assert rows[1]["media_ref"] == "x.png"
     # malformed / NULL rows never fail the query
     assert spark.sql("select * from html_spans(NULL)").count() == 0
+
+
+def test_html_spans_udtf_error_sentinel(spark):
+    """A document whose conversion RAISES must surface as one
+    kind='error' sentinel row, never silently vanish from SQL results
+    (invalid base URL is the one raising path, per the reference's
+    exception fixture)."""
+    from html2text_spark.core.config import Config
+    from html2text_spark.functions.udtfs import make_html_spans_udtf
+
+    spark.udtf.register(
+        "html_spans_badbase",
+        make_html_spans_udtf(Config(base_url="http://[not-a-url")),
+    )
+    rows = spark.sql(
+        "select * from html_spans_badbase('<a href=\"rel/x\">t</a>')"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["kind"] == "error" and rows[0]["offset"] == -1
+    assert rows[0]["text"] == "InvalidBaseUrl"
 
 
 def test_salt_by_size_plan_is_single_exchange(spark):
