@@ -534,6 +534,72 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every ordinary event gets the
+    most recent high-value "checkpoint" event (value >= 0.9) of the same
+    user (value >= 100, ~13% of events) at or before its timestamp;
+    the remaining ~87% are the left side.  One shuffle on user_id via the
+    union+running-window encoding -- no inequality-join fanout.  Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from html2text_spark.operators.temporal import asof_join
+
+    events = _tbl(spark, sf_dir, "events")
+    left = events.filter(F.col("value") < 100).select(
+        "user_id", "ts", "event_type"
+    )
+    right = (
+        events.filter(F.col("value") >= 100)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 8).alias("value"))
+    )
+    return asof_join(
+        left, right, key="user_id", ts_col="ts", payload_cols=("value",)
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (hour, event_type) -> (hour) -> grand total in
+    one pass: Spark's ROLLUP grouping sets, order-independent aggregates
+    only so the values are exact at any parallelism."""
+    events = _tbl(spark, sf_dir, "events")
+    return events.rollup(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("events"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.min("value"), 8).alias("min_value"),
+        F.round(F.max("value"), 8).alias("max_value"),
+    )
+
+
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type (operators/sketches.py):
+    a cardinality sketch that -- unlike HLL -- is deterministic and
+    value-checkable against another engine, because the k minimum md5
+    hashes are the same everywhere."""
+    from html2text_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _tbl(spark, sf_dir, "events"), key_col="user_id",
+        group_col="event_type", k=64,
+    )
+
+
+def q_curation_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over curation stages: the deterministic 10% sample
+    EXCEPT low-quality docs (kept) plus the sample INTERSECT low-quality
+    (dropped), tagged -- the train/eval holdout bookkeeping a data
+    pipeline runs daily."""
+    docs = _docs(spark, sf_dir)
+    sample = C.hash_sample(docs, pct=10).select("doc_id")
+    lowq = (
+        T.quality_score(docs).filter(F.col("quality") < 0.5).select("doc_id")
+    )
+    kept = sample.subtract(lowq).withColumn("part", F.lit("keep"))
+    dropped = sample.intersect(lowq).withColumn("part", F.lit("drop"))
+    return kept.unionAll(dropped)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_fake_media(_docs(spark, sf_dir))
     feats = M.extract_media_features(media)
@@ -568,6 +634,10 @@ def queries() -> dict[str, _Q]:
         "sim_ivf_det_topk": q_sim_ivf_det_topk,
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "events_rollup": q_events_rollup,
+        "events_kmv_users": q_events_kmv_users,
+        "curation_holdout": q_curation_holdout,
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
         "curation_sample": q_curation_sample,
@@ -952,6 +1022,57 @@ select date_trunc('hour', ts) as hour, event_type,
        round(min(value), 8) as min_value,
        round(max(value), 8) as max_value
 from events group by 1, 2
+""",
+        "events_asof": """
+with l as (select user_id, ts, event_type from events where value < 100),
+ r as (select user_id, ts, round(max(value), 8) as value
+       from events where value >= 100 group by user_id, ts)
+select l.user_id, l.ts, l.event_type,
+       r.value as asof_value, r.ts as asof_ts
+from l asof left join r
+  on l.user_id = r.user_id and r.ts <= l.ts
+""",
+        "events_rollup": """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as events,
+       count(distinct user_id) as users,
+       round(min(value), 8) as min_value,
+       round(max(value), 8) as max_value
+from events
+group by rollup(date_trunc('hour', ts), event_type)
+""",
+        "events_kmv_users": """
+with d as (select distinct event_type as grp, user_id as key from events),
+ h as (select grp,
+       ((('0x'||substr(md5(key::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
+         / 1152921504606846976.0 as h
+       from d),
+ r as (select grp, h, row_number() over (partition by grp order by h) as rank
+       from h)
+select grp, count(*) as n_kept,
+  round(case when count(*) < 64 then count(*)::DOUBLE
+             else 63.0 / max(h) end, 6) as kmv_estimate
+from r where rank <= 64 group by grp
+""",
+        "curation_holdout": f"""
+with s as (select doc_id from documents
+           where ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 10),
+ t as (
+  select doc_id,
+    len(string_split_regex(trim(text), '\\s+'))::DOUBLE as n_words,
+    length(text)::DOUBLE as n_chars,
+    len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE as n_punct,
+    len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}'))::DOUBLE as n_stop
+  from documents),
+ lowq as (
+  select doc_id from t
+  where round(0.4 * least(n_words / 100.0, 1.0)
+      + least(0.3, 0.3 * (case when n_words > 0 then n_stop / n_words else 0.0 end) * 5.0)
+      + 0.3 * greatest(0.0, 1.0 - least(1.0,
+          (case when n_chars > 0 then n_punct / n_chars else 0.0 end) * 10.0)), 8) < 0.5)
+select doc_id, 'keep' as part from (select doc_id from s except select doc_id from lowq)
+union all
+select doc_id, 'drop' as part from (select doc_id from s intersect select doc_id from lowq)
 """,
         "corpus_curation": f"""
 with docs as (select doc_id, text from documents

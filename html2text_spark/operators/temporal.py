@@ -1,0 +1,87 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, rollups.
+
+The as-of join ("attach the most recent right-side row at or before each
+left row's timestamp") has no native DataFrame operator.  The naive
+encodings both fail at scale:
+
+  * inequality join ``l.key = r.key AND r.ts <= l.ts`` + window to keep
+    the max: Catalyst plans the inequality as a per-key cross product --
+    quadratic fanout on active keys;
+  * per-key collect + Python bisect: driver/executor memory and a
+    Python hot loop.
+
+The scalable encoding used here is the union trick: tag both sides,
+union them, and take ``last(right_payload, ignorenulls=true)`` over a
+(key, ts)-ordered running window.  ONE shuffle on the join key, zero
+fanout, whole-stage codegen throughout -- the same plan shape Flink's
+temporal join and kdb's aj compile to.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row attach the latest right row with the same key
+    and ``right.ts <= left.ts`` (inclusive), LEFT-join semantics (no
+    match -> nulls).
+
+    The right side must be unique per (key, ts) -- pre-aggregate it if
+    not, or which payload wins at an equal timestamp is undefined (the
+    same caveat every asof implementation carries).
+
+    Plan: unionByName(tagged left, tagged right) -> window
+    last(ignorenulls) over (partition by key order by ts, side) ->
+    filter side=left.  At equal timestamps the right row sorts first
+    (side 0 < 1) so it is visible to the left row, giving the inclusive
+    `<=` bound.  One hash shuffle on ``key``; window state is a single
+    running value per payload column.
+    """
+    pay = list(payload_cols)
+    left_cols = left.columns
+    l_tag = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in pay],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in (key, ts_col)
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in pay],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = unioned.select(
+        *left_cols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in pay
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+    )
+    return attached.filter(F.col("_side") == 1).drop("_side")

@@ -106,6 +106,74 @@ def test_canonical_filter_keeps_unclustered_and_canonical(spark, docs):
     assert 13 in kept and 29 in kept        # unclustered docs untouched
 
 
+def test_asof_join_semantics(spark):
+    """Inclusive <= bound, latest-wins, left semantics (no match ->
+    nulls), and no leakage across keys."""
+    from html2text_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 8, 80.0)],
+        "user_id long, ts long, value double",
+    )
+    rows = asof_join(left, right, payload_cols=("value",)).collect()
+    out = {
+        (r["user_id"], r["ts"]): (r["asof_value"], r["asof_ts"]) for r in rows
+    }
+    assert len(out) == 4
+    assert out[(1, 10)] == (100.0, 10)  # equal ts matches (inclusive)
+    assert out[(1, 20)] == (150.0, 15)  # latest at-or-before wins
+    assert out[(1, 5)] == (None, None)  # nothing before -> left join nulls
+    assert out[(2, 7)] == (None, None)  # user 2's right row is later
+
+
+def test_asof_join_plan_single_shuffle_no_join(spark):
+    """The union+window encoding must compile to ONE hash exchange on
+    the key and ZERO join operators -- the whole point vs the
+    inequality-join encoding that fans out per key."""
+    from html2text_spark.operators.temporal import asof_join
+
+    left = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    right = spark.read.parquet(f"{SF}/events.parquet").groupBy(
+        "user_id", "ts"
+    ).agg(F.max("value").alias("value"))
+    plan = (
+        asof_join(left, right, payload_cols=("value",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    # one exchange for the right-side pre-aggregation, one for the window
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_kmv_exact_below_k(spark):
+    from html2text_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp string, key long"
+    )
+    row = kmv_distinct(df, "key", "grp", k=64).collect()[0]
+    assert row["n_kept"] == 10 and row["kmv_estimate"] == 10.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    """k=256 gives ~6% standard error; 15% is a ~2.4 sigma bound, and
+    the md5 hash makes the result deterministic run-to-run."""
+    from html2text_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)], "grp string, key long"
+    )
+    row = kmv_distinct(df, "key", "grp", k=256).collect()[0]
+    assert row["n_kept"] == 256
+    assert abs(row["kmv_estimate"] - 5000) / 5000 < 0.15
+
+
 def test_ngram_jaccard_identical_docs(spark, docs):
     from html2text_spark.operators.dedup import ngram_jaccard_pairs
 
