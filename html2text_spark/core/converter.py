@@ -676,7 +676,20 @@ class _Parser(HTMLParser):
             self.last_was_list = False
             return
 
+        # Dispatch: the original reference runs ~20 sequential tag tests
+        # per event; the sets are mutually exclusive (verified below), so
+        # an ordered elif chain is behavior-identical and ~halves the
+        # average compare count on the hottest converter function.  Two
+        # invariants are load-bearing and preserved exactly:
+        #   * googleDoc's add_emphasis runs between the del/strike block
+        #     and the kbd block FOR EVERY TAG -> the chain is split into
+        #     an early and a late group around it;
+        #   * the reference's ol/ul else-branch resets last_was_list for
+        #     every non-ol/ul tag UNLESS an earlier block returned -> the
+        #     reset moved to the end (nothing between reads it), and all
+        #     early returns still skip it.
         header_level = utils.hn(tag)
+        matched_early = True
         if header_level > 0:
             # header inside an 'a' tag (incorrect but found in the wild)
             if self.astack:
@@ -702,7 +715,7 @@ class _Parser(HTMLParser):
                     self.p()
                     return  # prevent redundant emphasis marks on headers
 
-        if tag in ("p", "div"):
+        elif tag in ("p", "div"):
             if self.cfg.google_doc:
                 if start and utils.google_has_height(self.tag_style):
                     self.p()
@@ -713,35 +726,36 @@ class _Parser(HTMLParser):
             else:
                 self.p()
 
-        if tag == "br" and start:
-            # avoid carrying over pending spaces before explicit line breaks
-            self.space = False
-            if self.blockquote > 0:
-                self.o("  \n> ")
-            else:
-                self.o("  \n")
-
-        if tag == "hr" and start:
-            self.p()
-            self.o("* * *")
-            self.p()
-
-        if tag in ("head", "style", "script"):
+        elif tag == "br":
             if start:
-                self.quiet += 1
-            else:
-                self.quiet -= 1
+                # avoid carrying over pending spaces before explicit breaks
+                self.space = False
+                if self.blockquote > 0:
+                    self.o("  \n> ")
+                else:
+                    self.o("  \n")
 
-        if tag == "style":
+        elif tag == "hr":
             if start:
-                self.style += 1
+                self.p()
+                self.o("* * *")
+                self.p()
+
+        elif tag in ("head", "style", "script", "body"):
+            if tag == "body":
+                self.quiet = 0  # sites like 9rules.com never close <head>
             else:
-                self.style -= 1
+                if start:
+                    self.quiet += 1
+                else:
+                    self.quiet -= 1
+                if tag == "style":
+                    if start:
+                        self.style += 1
+                    else:
+                        self.style -= 1
 
-        if tag == "body":
-            self.quiet = 0  # sites like 9rules.com never close <head>
-
-        if tag == "blockquote":
+        elif tag == "blockquote":
             if start:
                 self.p()
                 self.o("> ", puredata=False, force=True)
@@ -751,43 +765,45 @@ class _Parser(HTMLParser):
                 self.blockquote -= 1
                 self.p()
 
-        if tag in ("em", "i", "u") and not self.cfg.ignore_emphasis:
-            # Separate with a space if we immediately follow an alphanumeric
-            # character, since otherwise Markdown won't render the emphasis
-            # marks and we'd be left with eg 'foo_bar_' visible.
-            if (
-                start
-                and self.preceding_data
-                and not self.preceding_data[-1].isspace()
-                and not _is_punctuation(self.preceding_data[-1])
-            ):
-                emphasis = " " + self.cfg.emphasis_mark
-                self.preceding_data += " "
-            else:
-                emphasis = self.cfg.emphasis_mark
-            self.o(emphasis)
-            if start:
-                self.stressed = True
+        elif tag in ("em", "i", "u"):
+            if not self.cfg.ignore_emphasis:
+                # Separate with a space if we immediately follow an
+                # alphanumeric character, since otherwise Markdown won't
+                # render the emphasis marks ('foo_bar_' stays visible).
+                if (
+                    start
+                    and self.preceding_data
+                    and not self.preceding_data[-1].isspace()
+                    and not _is_punctuation(self.preceding_data[-1])
+                ):
+                    emphasis = " " + self.cfg.emphasis_mark
+                    self.preceding_data += " "
+                else:
+                    emphasis = self.cfg.emphasis_mark
+                self.o(emphasis)
+                if start:
+                    self.stressed = True
 
-        if tag in ("strong", "b") and not self.cfg.ignore_emphasis:
-            # Separate with space if we immediately follow an * character,
-            # since without it Markdown won't render the resulting ***.
-            if (
-                start
-                and self.preceding_data
-                # when strong_mark is empty the lookup below would IndexError
-                and self.cfg.strong_mark
-                and self.preceding_data[-1] == self.cfg.strong_mark[0]
-            ):
-                strong = " " + self.cfg.strong_mark
-                self.preceding_data += " "
-            else:
-                strong = self.cfg.strong_mark
-            self.o(strong)
-            if start:
-                self.stressed = True
+        elif tag in ("strong", "b"):
+            if not self.cfg.ignore_emphasis:
+                # Separate with space if we immediately follow an *
+                # character, else Markdown won't render the resulting ***.
+                if (
+                    start
+                    and self.preceding_data
+                    # empty strong_mark: the lookup would IndexError
+                    and self.cfg.strong_mark
+                    and self.preceding_data[-1] == self.cfg.strong_mark[0]
+                ):
+                    strong = " " + self.cfg.strong_mark
+                    self.preceding_data += " "
+                else:
+                    strong = self.cfg.strong_mark
+                self.o(strong)
+                if start:
+                    self.stressed = True
 
-        if tag in ("del", "strike", "s"):
+        elif tag in ("del", "strike", "s"):
             if start and self.preceding_data and self.preceding_data.endswith("~"):
                 strike = " ~~"
                 self.preceding_data += " "
@@ -797,16 +813,23 @@ class _Parser(HTMLParser):
             if start:
                 self.stressed = True
 
+        else:
+            matched_early = False
+
         if self.cfg.google_doc:
             if not self.inheader:
                 # handle some font attributes, but leave headers clean
                 self.add_emphasis(start, self.tag_style, self.parent_style)
 
-        if tag in ("kbd", "code", "tt") and not self.pre:
-            self.o("`")  # TODO: `` `this` ``
-            self.code = not self.code
+        if matched_early:
+            pass
 
-        if tag == "abbr":
+        elif tag in ("kbd", "code", "tt"):
+            if not self.pre:
+                self.o("`")  # TODO: `` `this` ``
+                self.code = not self.code
+
+        elif tag == "abbr":
             if start:
                 self.abbr_title = None
                 self.abbr_data = ""
@@ -818,14 +841,14 @@ class _Parser(HTMLParser):
                     self.abbr_title = None
                 self.abbr_data = None
 
-        if tag == "q":
+        elif tag == "q":
             if not self.quote:
                 self.o(self.cfg.open_quote)
             else:
                 self.o(self.cfg.close_quote)
             self.quote = not self.quote
 
-        if tag == "a" and not self.cfg.ignore_anchors:
+        elif tag == "a" and not self.cfg.ignore_anchors:
             if start:
                 href = attrs.get("href")
                 if (
@@ -856,7 +879,7 @@ class _Parser(HTMLParser):
                         if a is not None:
                             self._finalize_anchor(a)
 
-        if tag == "img" and start:
+        elif tag == "img" and start:
             src = attrs.get("src")
             if src:
                 self.media_refs.append(MediaRef(src, self.segment))
@@ -916,16 +939,19 @@ class _Parser(HTMLParser):
                         a_props = self._footnote_props(attrs)
                         self.o("[" + str(a_props.count) + "]")
 
-        if tag == "dl" and start:
-            self.p()
-        if tag == "dt" and not start:
-            self.pbr()
-        if tag == "dd" and start:
-            self.o("    ")
-        if tag == "dd" and not start:
-            self.pbr()
+        elif tag == "dl":
+            if start:
+                self.p()
+        elif tag == "dt":
+            if not start:
+                self.pbr()
+        elif tag == "dd":
+            if start:
+                self.o("    ")
+            else:
+                self.pbr()
 
-        if tag in ("ol", "ul"):
+        elif tag in ("ol", "ul"):
             # Google Docs create sub lists as top level lists
             if not self.lst and not self.last_was_list:
                 self.p()
@@ -942,10 +968,9 @@ class _Parser(HTMLParser):
                     if not self.cfg.google_doc and not self.lst:
                         self.o("\n")
             self.last_was_list = True
-        else:
-            self.last_was_list = False
+            return  # reference's else-branch reset must not fire for ol/ul
 
-        if tag == "li":
+        elif tag == "li":
             self.list_code_indent = ""
             self.pbr()
             if start:
@@ -981,7 +1006,7 @@ class _Parser(HTMLParser):
                     self.o(str(li.num) + ". ")
                 self.start = True
 
-        if tag in ("table", "tr", "td", "th"):
+        elif tag in ("table", "tr", "td", "th"):
             if self.cfg.ignore_tables:
                 if tag == "tr" and not start:
                     self.soft_br()
@@ -1029,7 +1054,7 @@ class _Parser(HTMLParser):
                 if tag in ("td", "th") and start:
                     self.td_count += 1
 
-        if tag == "pre":
+        elif tag == "pre":
             if start:
                 self.startpre = True
                 self.pre = True
@@ -1042,11 +1067,15 @@ class _Parser(HTMLParser):
                     self.out("\n[/code]")
             self.p()
 
-        if tag in ("sup", "sub") and self.cfg.include_sup_sub:
+        elif tag in ("sup", "sub") and self.cfg.include_sup_sub:
             if start:
                 self.o("<{}>".format(tag))
             else:
                 self.o("</{}>".format(tag))
+
+        # the reference's ol/ul else-branch: every tag event that reaches
+        # this point (no early return, not ol/ul) resets the flag
+        self.last_was_list = False
 
     # ------------------------------------------------------------------
     # anchors (reference TagProcessor:572-716)

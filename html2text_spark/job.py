@@ -1,13 +1,13 @@
 """Production job entrypoint.
 
-Usage (cluster):
-    spark-submit --py-files html2text_spark.zip -m html2text_spark.job \\
+Usage (cluster; run_job.py is the submittable wrapper because this
+module uses package-relative imports):
+    spark-submit --py-files html2text_spark.zip run_job.py \\
         --input iceberg:warehouse.docs --output s3://bucket/run1 \\
         --buckets 4096
 
 Usage (sandbox smoke):
-    spark-submit --py-files html2text_spark.zip job.py \\
-        --synthetic 1000 --output /tmp/run1 --buckets 8
+    python3 -m html2text_spark.job --synthetic 1000 --output /tmp/run1 --buckets 8
 
 Reads the interleaved documents table, runs the checkpointed extraction
 (resuming any completed buckets), and prints a one-line JSON summary with

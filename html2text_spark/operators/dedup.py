@@ -236,7 +236,9 @@ def connected_components(
     )
     for _ in range(max_iters):
         # candidate label for each dst = min label among its neighbors;
-        # new label = min(own, neighborhood)
+        # new label = min(own, neighborhood).  The previous label rides
+        # along so convergence is a filter on the checkpointed result,
+        # not an extra join job per round.
         prop = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy("dst")
@@ -249,17 +251,16 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_prev"),
             )
             .localCheckpoint()  # truncate lineage: plan doubles per round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
