@@ -557,6 +557,31 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: count events falling inside 90-minute
+    incident windows (opened by events with value >= 300, keyed by
+    event type).  Bucketed equi-join encoding -- never the per-key cross
+    product Catalyst plans for a bare inequality join (plan gate:
+    test_range_join_no_cross_product).  Oracle: DuckDB inequality join."""
+    from html2text_spark.operators.temporal import range_join_events
+
+    events = _tbl(spark, sf_dir, "events")
+    incidents = events.filter(F.col("value") >= 300).select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_add("MINUTE", F.lit(90), F.col("ts")).alias("end_ts"),
+    )
+    joined = range_join_events(
+        events.select("event_type", "ts", "user_id"),
+        incidents,
+        key="event_type",
+    )
+    return joined.groupBy("event_type", "start_ts").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (hour, event_type) -> (hour) -> grand total in
     one pass: Spark's ROLLUP grouping sets, order-independent aggregates
@@ -635,6 +660,7 @@ def queries() -> dict[str, _Q]:
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_kmv_users": q_events_kmv_users,
         "curation_holdout": q_curation_holdout,
@@ -1031,6 +1057,15 @@ select l.user_id, l.ts, l.event_type,
        r.value as asof_value, r.ts as asof_ts
 from l asof left join r
   on l.user_id = r.user_id and r.ts <= l.ts
+""",
+        "events_range_join": """
+with i as (select event_type, ts as start_ts, ts + interval 90 minute as end_ts
+           from events where value >= 300)
+select e.event_type, i.start_ts, count(*) as n_events,
+       count(distinct e.user_id) as users
+from events e join i on e.event_type = i.event_type
+  and e.ts >= i.start_ts and e.ts < i.end_ts
+group by e.event_type, i.start_ts
 """,
         "events_rollup": """
 select date_trunc('hour', ts) as hour, event_type,

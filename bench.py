@@ -201,6 +201,7 @@ def main() -> int:
         "sim_ivf_det_topk",
         "dedup_clusters",
         "events_asof",
+        "events_range_join",
         "events_rollup",
         "events_kmv_users",
         "curation_holdout",

@@ -85,3 +85,49 @@ def asof_join(
         F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
     )
     return attached.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_events(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Events |x| intervals where start <= ts < end, without the
+    inequality-join cross product.
+
+    Catalyst plans a bare ``e.ts >= i.start AND e.ts < i.end`` predicate
+    (plus an equi-key) as a join whose range part is a post-filter over
+    the per-key cross product -- quadratic on hot keys.  The scalable
+    encoding buckets time: each interval explodes into the hour buckets
+    it covers (``sequence()`` -- bounded by interval length / bucket),
+    each event has exactly ONE bucket, and the join becomes a pure
+    equi-join on (key, bucket) followed by the exact range filter.  An
+    (event, interval) pair meets in exactly one bucket, so no dedup is
+    needed.  Shuffle key (key, bucket) is finer than key alone -- time
+    spreads hot keys across partitions, the same trick as salting but
+    semantic.
+
+    Returns one row per (event, matching interval).
+    """
+    ev = events.withColumn("_bkt", F.date_trunc("hour", F.col(ts_col)))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                # end is exclusive, but an interval ending exactly on a
+                # bucket boundary still covers no event in that bucket;
+                # generating it is harmless (filtered below), simpler
+                F.date_trunc("hour", F.col(end_col)),
+                F.expr(f"interval {bucket}"),
+            )
+        ),
+    )
+    joined = ev.join(iv, on=[key, "_bkt"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bkt")

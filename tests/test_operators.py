@@ -151,6 +151,52 @@ def test_asof_join_plan_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_range_join_semantics(spark):
+    """Boundary semantics: start inclusive, end exclusive; key isolation;
+    an event inside two overlapping intervals matches both."""
+    from html2text_spark.operators.temporal import range_join_events
+
+    events = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:29:59"),
+         ("a", "2024-01-01 11:30:00"), ("b", "2024-01-01 10:15:00")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", "2024-01-01 11:30:00"),
+         ("a", "2024-01-01 11:00:00", "2024-01-01 12:00:00")],
+        "k string, start_ts string, end_ts string",
+    ).select(
+        "k",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    rows = range_join_events(events, intervals, key="k").collect()
+    matches = sorted(
+        (str(r["ts"])[11:19], str(r["start_ts"])[11:19]) for r in rows
+    )
+    assert matches == [
+        ("10:00:00", "10:00:00"),   # start inclusive
+        ("11:29:59", "10:00:00"),   # just inside interval 1...
+        ("11:29:59", "11:00:00"),   # ...and inside overlapping interval 2
+        ("11:30:00", "11:00:00"),   # end exclusive for interval 1
+    ]  # event of key b matches nothing
+
+
+def test_range_join_no_cross_product(spark):
+    """The bucketed encoding must produce an EQUI join -- never the
+    BroadcastNestedLoopJoin / CartesianProduct Catalyst plans for a bare
+    inequality join predicate."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q_events_range_join(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # it is still a real join
+
+
 def test_kmv_exact_below_k(spark):
     from html2text_spark.operators.sketches import kmv_distinct
 
