@@ -455,6 +455,36 @@ def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(with_tokens, window_tokens=512)
 
 
+def q_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority sampling, Duffield et
+    al. 2007): top-20 docs per language by priority n_chars/u -- longer
+    documents proportionally likelier, zero RNG state, identical sample
+    on every retry/resume, bit-reproducible across engines (one IEEE
+    division; a pow()-based weighted reservoir would not be)."""
+    return C.weighted_priority_sample(
+        _docs(spark, sf_dir), weight_col="n_chars", group_col="lang", k=20
+    )
+
+
+def q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language:
+    Spark's percentile() and DuckDB's quantile_cont() share the linear
+    interpolation definition, so the values match bit-for-bit.  (At
+    100 TB you'd reach for approx_percentile / t-digest; the exact form
+    here shuffles each group's values once, fine for bounded groups.)"""
+    docs = _docs(spark, sf_dir)
+    q = F.percentile("n_chars", F.lit([0.25, 0.5, 0.75, 0.95]))
+    agg = docs.groupBy("lang").agg(q.alias("qs"), F.count("*").alias("docs"))
+    return agg.select(
+        "lang",
+        F.col("qs")[0].alias("p25"),
+        F.col("qs")[1].alias("p50"),
+        F.col("qs")[2].alias("p75"),
+        F.col("qs")[3].alias("p95"),
+        "docs",
+    )
+
+
 def q_curation_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 word bigrams per language (vocabulary statistics)."""
     return C.top_ngrams(_docs(spark, sf_dir), n=2, k=10)
@@ -669,6 +699,8 @@ def queries() -> dict[str, _Q]:
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
+        "curation_weighted_sample": q_curation_weighted_sample,
+        "text_percentiles": q_text_percentiles,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_top_brands": q_rel_top_brands,
@@ -1152,6 +1184,27 @@ select source, floor((cum - n_tokens) / 512.0)::BIGINT as pack_id,
        count(*) as docs, sum(n_tokens)::BIGINT as pack_tokens,
        min(doc_id) as first_doc, max(doc_id) as last_doc
 from c group by 1, 2
+""",
+        "curation_weighted_sample": """
+with h as (select doc_id, lang, n_chars,
+  n_chars::DOUBLE /
+    (((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
+      / 1152921504606846976.0) as pri
+  from documents),
+ r as (select doc_id, lang, n_chars, pri,
+       row_number() over (partition by lang order by pri desc, doc_id asc) as rank
+       from h)
+select doc_id, lang, n_chars, round(pri, 6) as priority, rank
+from r where rank <= 20
+""",
+        "text_percentiles": """
+select lang,
+  quantile_cont(n_chars, 0.25) as p25,
+  quantile_cont(n_chars, 0.5)  as p50,
+  quantile_cont(n_chars, 0.75) as p75,
+  quantile_cont(n_chars, 0.95) as p95,
+  count(*) as docs
+from documents group by lang
 """,
         "curation_ngrams": """
 with w as (select lang, regexp_split_to_array(trim(text), '\\s+') as words from documents),

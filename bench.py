@@ -205,6 +205,8 @@ def main() -> int:
         "events_rollup",
         "events_kmv_users",
         "curation_holdout",
+        "curation_weighted_sample",
+        "text_percentiles",
     ]
     queries = entry_mod.queries()
 

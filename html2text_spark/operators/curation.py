@@ -99,3 +99,42 @@ def top_ngrams(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling: top-k priority sampling.
+
+    Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007): each row gets
+    priority q = w / u with u a uniform (0,1] hash of its id; the k
+    highest-priority rows per group are a weighted sample WITHOUT any
+    RNG state -- retries, resumes and re-runs select the identical
+    sample, the property rand()-based sampling cannot give.  A single
+    IEEE double division, so the selection is bit-reproducible across
+    engines (the pow()-based weighted-reservoir variant is not: libm
+    pow differs in the last ulp across platforms).
+
+    One shuffle on the group key; the rank window keeps k rows/group.
+    """
+    from .dedup import md5_int
+
+    u = (md5_int(F.col(id_col).cast("string")).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    pri = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.asc(id_col)
+    )
+    return (
+        df.select(id_col, group_col, weight_col)
+        .withColumn("priority", pri)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("priority", F.round("priority", 6))
+    )

@@ -197,6 +197,34 @@ def test_range_join_no_cross_product(spark):
     assert "Join" in plan  # it is still a real join
 
 
+def test_weighted_priority_sample_deterministic_and_biased(spark, docs):
+    """The sample must be identical across repartitionings (no RNG
+    state) and biased toward heavy rows (priority = weight/u)."""
+    from html2text_spark.operators.curation import weighted_priority_sample
+
+    base = docs.select("doc_id", "lang", "n_chars")
+    s1 = {
+        r["doc_id"]
+        for r in weighted_priority_sample(base, "n_chars", "lang", k=10).collect()
+    }
+    s2 = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base.repartition(7), "n_chars", "lang", k=10
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) > 0
+    from pyspark.sql import functions as _F
+
+    corpus_avg = base.agg(_F.avg("n_chars")).collect()[0][0]
+    sample_avg = (
+        weighted_priority_sample(base, "n_chars", "lang", k=10)
+        .agg(_F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_avg > corpus_avg  # longer docs proportionally likelier
+
+
 def test_kmv_exact_below_k(spark):
     from html2text_spark.operators.sketches import kmv_distinct
 
