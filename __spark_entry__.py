@@ -546,6 +546,22 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_QUERY_SEQ = [0]
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tumbling-window rollup (built-in watermarked window agg,
+    append mode) driven to completeness with a far-future clock event --
+    the streamed output equals the batch hourly aggregation exactly, so
+    the SECOND stateful streaming operator family (built-in windows, vs
+    the custom sessionizer) is also value-checked against DuckDB."""
+    from html2text_spark.streaming.windows import hourly_rollup_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return hourly_rollup_complete(
+        spark, events,
+        query_name=f"hourly_rollup_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
 def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING sessionization (applyInPandasWithState, EventTimeTimeout)
     driven to completeness: synthetic far-future clock events close every
@@ -696,6 +712,7 @@ def queries() -> dict[str, _Q]:
         "curation_holdout": q_curation_holdout,
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
+        "events_hourly_stream": q_events_hourly_stream,
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
@@ -1077,6 +1094,13 @@ from s group by user_id, sidx
 select date_trunc('hour', ts) as hour, event_type,
        count(*) as events,
        count(distinct user_id) as users,
+       round(min(value), 8) as min_value,
+       round(max(value), 8) as max_value
+from events group by 1, 2
+""",
+        "events_hourly_stream": """
+select date_trunc('hour', ts) as hour, event_type,
+       count(*) as events,
        round(min(value), 8) as min_value,
        round(max(value), 8) as max_value
 from events group by 1, 2

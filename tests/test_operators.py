@@ -509,6 +509,35 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         )
 
 
+def test_hourly_rollup_stream_matches_batch(spark):
+    """The watermarked streaming window agg, driven to completeness,
+    must equal the batch hourly aggregation row-for-row; the synthetic
+    clock row's window stays open and must never be emitted."""
+    from html2text_spark.streaming.windows import hourly_rollup_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    streamed = hourly_rollup_complete(
+        spark, events, query_name="t_hourly_stream"
+    )
+    batch = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("events"),
+        F.round(F.min("value"), 8).alias("min_value"),
+        F.round(F.max("value"), 8).alias("max_value"),
+    )
+    key = lambda r: (str(r["hour"]), r["event_type"])  # noqa: E731
+    srows = sorted(streamed.collect(), key=key)
+    brows = sorted(batch.collect(), key=key)
+    assert len(srows) == len(brows) > 0
+    for s, b in zip(srows, brows):
+        assert key(s) == key(b)
+        assert (s["events"], s["min_value"], s["max_value"]) == (
+            b["events"], b["min_value"], b["max_value"],
+        )
+    assert all(r["event_type"] != "__clock__" for r in srows)
+
+
 def test_sessionize_stream_rocksdb_state_store(spark):
     """The sessionizer must produce identical results on the RocksDB
     state store (the at-scale backend: heap-independent state size,
