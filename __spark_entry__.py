@@ -466,6 +466,36 @@ def q_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicated-3-gram and
+    duplicated-word fractions per document (boilerplate/spam gate);
+    pure codegen projection, zero shuffles."""
+    return T.repetition_stats(_docs(spark, sf_dir), k=3)
+
+
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing a word 5-gram with
+    the (deterministic 5%-sample stand-in) eval set are flagged with
+    their shared-gram count.  Leaks are PLANTED -- a copy of each eval
+    doc's first 120 chars -- so the oracle exercises true positives, and
+    the organic near-collisions of this small-vocabulary corpus come
+    along.  Eval-side grams broadcast (a benchmark set is a genuine
+    dimension at any corpus scale)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = C.hash_sample(base, pct=5)
+    corpus = base.join(
+        eval_docs.select("doc_id"), "doc_id", "left_anti"
+    ).unionAll(
+        eval_docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 120), F.lit(" leaked benchmark fragment")
+            ).alias("text"),
+        )
+    )
+    return C.decontaminate(corpus, eval_docs, k=5)
+
+
 def q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language:
     Spark's percentile() and DuckDB's quantile_cont() share the linear
@@ -717,6 +747,8 @@ def queries() -> dict[str, _Q]:
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
         "curation_weighted_sample": q_curation_weighted_sample,
+        "curation_decontaminate": q_curation_decontaminate,
+        "text_repetition": q_text_repetition,
         "text_percentiles": q_text_percentiles,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
@@ -1220,6 +1252,49 @@ with h as (select doc_id, lang, n_chars,
        from h)
 select doc_id, lang, n_chars, round(pri, 6) as priority, rank
 from r where rank <= 20
+""",
+        "text_repetition": """
+with w as (select doc_id,
+           regexp_split_to_array(trim(text), '\\s+') as words
+           from documents),
+ g as (select doc_id, words,
+       list_transform(range(1, greatest(len(words)-2,1)+1),
+                      i -> array_to_string(words[i:i+2], ' ')) as grams
+       from w)
+select doc_id,
+  len(grams)::INT as n_grams,
+  len(list_distinct(grams))::INT as n_distinct_grams,
+  case when len(grams) > 0
+       then round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE, 8)
+       else 0.0 end as dup_gram_ratio,
+  len(words)::INT as n_words,
+  len(list_distinct(words))::INT as n_distinct_words,
+  case when len(words) > 0
+       then round(1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE, 8)
+       else 0.0 end as dup_word_ratio
+from g
+""",
+        "curation_decontaminate": """
+with base as (select doc_id, text from documents),
+ eval_docs as (select doc_id, text from base
+               where ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 5),
+ corpus as (select doc_id, text from base
+            where doc_id not in (select doc_id from eval_docs)
+            union all
+            select doc_id + 2000000,
+                   substr(text, 1, 120) || ' leaked benchmark fragment'
+            from eval_docs),
+ w as (select doc_id, regexp_split_to_array(trim(text), '\\s+') as words from corpus),
+ g as (select doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len(words)-4,1)+1),
+         i -> array_to_string(words[i:i+4], ' ')))) as gram from w),
+ ew as (select regexp_split_to_array(trim(text), '\\s+') as words from eval_docs),
+ eg as (select distinct unnest(list_transform(
+          range(1, greatest(len(words)-4,1)+1),
+          i -> array_to_string(words[i:i+4], ' '))) as gram from ew)
+select g.doc_id, count(*) as shared_grams
+from g join eg using (gram)
+group by g.doc_id
 """,
         "text_percentiles": """
 select lang,

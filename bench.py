@@ -206,6 +206,8 @@ def main() -> int:
         "events_kmv_users",
         "curation_holdout",
         "curation_weighted_sample",
+        "curation_decontaminate",
+        "text_repetition",
         "text_percentiles",
     ]
     queries = entry_mod.queries()

@@ -110,3 +110,36 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, w: (acc * F.lit(31) + md5_int(w)) % F.lit(10**15),
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def repetition_stats(df, text_col: str = "text", k: int = 3):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A: repetition filters):
+    the fraction of duplicated word k-grams and duplicated words per
+    document.  High ratios indicate boilerplate/spam -- a standard
+    training-data cleaning gate.  Pure codegen projection (size +
+    array_distinct over the shingle array): zero shuffles, zero Python.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import shingles
+
+    grams = shingles(text_col, k)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_g = F.size(grams)
+    n_gd = F.size(F.array_distinct(grams))
+    n_w = F.size(words)
+    n_wd = F.size(F.array_distinct(words))
+    ratio = lambda total, distinct: F.when(  # noqa: E731
+        total > 0,
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 8),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_g.alias("n_grams"),
+        n_gd.alias("n_distinct_grams"),
+        ratio(n_g, n_gd).alias("dup_gram_ratio"),
+        n_w.alias("n_words"),
+        n_wd.alias("n_distinct_words"),
+        ratio(n_w, n_wd).alias("dup_word_ratio"),
+    )

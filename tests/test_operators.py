@@ -197,6 +197,36 @@ def test_range_join_no_cross_product(spark):
     assert "Join" in plan  # it is still a real join
 
 
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from html2text_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"),   # holds eval 5-grams
+         (2, "zz yy xx ww vv uu tt ss"),   # disjoint
+         (3, "bb cc dd ee ff qq rr tt")],  # one shared 5-gram window
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "aa bb cc dd ee ff")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["shared_grams"] for r in decontaminate(corpus, eval_df, k=5).collect()}
+    # eval doc grams: 'aa bb cc dd ee', 'bb cc dd ee ff'
+    assert out == {1: 2, 3: 1}
+
+
+def test_repetition_stats_detects_duplication(spark):
+    from html2text_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, k=3).collect()}
+    assert rows[1]["dup_gram_ratio"] > 0.7 and rows[1]["dup_word_ratio"] > 0.8
+    assert rows[2]["dup_gram_ratio"] == 0.0 and rows[2]["dup_word_ratio"] == 0.0
+
+
 def test_weighted_priority_sample_deterministic_and_biased(spark, docs):
     """The sample must be identical across repartitionings (no RNG
     state) and biased toward heavy rows (priority = weight/u)."""
