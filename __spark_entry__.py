@@ -496,6 +496,12 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(corpus, eval_docs, k=5)
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: window-min selection over
+    word-3-gram hashes (w=4), summarized order-independently."""
+    return T.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
 def q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language:
     Spark's percentile() and DuckDB's quantile_cont() share the linear
@@ -589,6 +595,20 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup_complete(
         spark, events,
         query_name=f"hourly_rollup_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (dropDuplicates state store) over a finite
+    input: the streamed distinct user set equals batch DISTINCT --
+    third stateful streaming family with an exact oracle."""
+    from html2text_spark.streaming.windows import distinct_users_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return distinct_users_complete(
+        spark, events,
+        query_name=f"distinct_users_complete_{_STREAM_QUERY_SEQ[0]}",
     )
 
 
@@ -743,12 +763,14 @@ def queries() -> dict[str, _Q]:
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
         "events_hourly_stream": q_events_hourly_stream,
+        "events_dedup_stream": q_events_dedup_stream,
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
         "curation_weighted_sample": q_curation_weighted_sample,
         "curation_decontaminate": q_curation_decontaminate,
         "text_repetition": q_text_repetition,
+        "text_winnow": q_text_winnow,
         "text_percentiles": q_text_percentiles,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
@@ -1130,6 +1152,9 @@ select date_trunc('hour', ts) as hour, event_type,
        round(max(value), 8) as max_value
 from events group by 1, 2
 """,
+        "events_dedup_stream": """
+select distinct user_id from events
+""",
         "events_hourly_stream": """
 select date_trunc('hour', ts) as hour, event_type,
        count(*) as events,
@@ -1295,6 +1320,20 @@ with base as (select doc_id, text from documents),
 select g.doc_id, count(*) as shared_grams
 from g join eg using (gram)
 group by g.doc_id
+""",
+        "text_winnow": """
+with w as (select doc_id, regexp_split_to_array(trim(text), '\\s+') as words from documents),
+ sh as (select doc_id, list_transform(range(1, greatest(len(words)-2,1)+1),
+        i -> array_to_string(words[i:i+2], ' ')) as shingles from w),
+ h as (select doc_id, list_transform(shingles,
+       s -> ('0x'||substr(md5(s),1,8))::BIGINT) as hashes from sh),
+ sel as (select doc_id, list_distinct(list_transform(
+          range(1, greatest(len(hashes)-3,1)+1),
+          i -> list_min(hashes[i:i+3]))) as fps from h)
+select doc_id, len(fps)::INT as n_fingerprints,
+       list_aggregate(fps, 'sum')::BIGINT as fp_checksum,
+       list_min(fps) as fp_min
+from sel
 """,
         "text_percentiles": """
 select lang,

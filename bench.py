@@ -208,6 +208,7 @@ def main() -> int:
         "curation_weighted_sample",
         "curation_decontaminate",
         "text_repetition",
+        "text_winnow",
         "text_percentiles",
     ]
     queries = entry_mod.queries()

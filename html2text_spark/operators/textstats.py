@@ -143,3 +143,50 @@ def repetition_stats(df, text_col: str = "text", k: int = 3):
         n_wd.alias("n_distinct_words"),
         ratio(n_w, n_wd).alias("dup_word_ratio"),
     )
+
+
+def winnow_fingerprints(df, text_col: str = "text", k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    2003 -- the MOSS algorithm): hash every word k-gram, slide a window
+    of w consecutive hashes, keep each window's minimum; the selected
+    set is position-robust (any shared substring of length >= k+w-1
+    guarantees a shared fingerprint).  All built-ins: transform +
+    slice + array_min over the hash array -- zero Python, zero shuffle.
+
+    Returns (doc_id, n_fingerprints, fp_checksum, fp_min): the distinct
+    selected-hash set summarized order-independently (count, int64 sum,
+    min) so the result is hashable against the SQL oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import md5_int32, shingles
+
+    # materialize the hash array in its own projection: referencing the
+    # transform EXPRESSION inside the window lambda would re-evaluate
+    # the full k-gram md5 pass once per window (O(n^2) md5 calls --
+    # measured 58 s vs 4 s at sf0.1)
+    hashed = df.select(
+        "doc_id",
+        F.transform(shingles(text_col, k), lambda s: md5_int32(s)).alias(
+            "_hashes"
+        ),
+    )
+    hashes = F.col("_hashes")
+    n = F.size(hashes)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        )
+    )
+    return hashed.select(
+        "doc_id", sel.alias("_sel")
+    ).select(
+        "doc_id",
+        F.size("_sel").alias("n_fingerprints"),
+        F.aggregate(
+            "_sel", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_checksum"),
+        F.array_min("_sel").alias("fp_min"),
+    )

@@ -52,6 +52,58 @@ def hourly_rollup_stream(
     )
 
 
+def distinct_users_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on user_id (dropDuplicates state store).
+
+    The third stateful-streaming family after the custom sessionizer and
+    the windowed rollup: per-key dedup state.  On an unbounded stream
+    the state must be bounded -- use
+    ``withWatermark(...).dropDuplicatesWithinWatermark(...)`` so keys
+    age out; for the finite-input completion harness below plain
+    dropDuplicates is exact and the streamed distinct set equals the
+    batch DISTINCT (the emitted row per key is the first seen, so only
+    the key column is projected -- deterministic regardless of arrival
+    order)."""
+    return events_stream.select("user_id").dropDuplicates(["user_id"])
+
+
+def distinct_users_complete(
+    spark,
+    events: DataFrame,
+    work_dir: str = None,
+    query_name: str = "distinct_users_complete",
+) -> DataFrame:
+    """Run the streaming dedup over a finite event set (single-batch
+    staging; no clock event needed -- dropDuplicates emits on first
+    sight, nothing waits on the watermark)."""
+    import os
+    import shutil
+    import tempfile
+
+    cleanup = work_dir is None
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="h2t_distinct_stream_")
+    in_dir = os.path.join(work_dir, "in")
+    events.select("user_id", "ts", "event_type", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    q = (
+        distinct_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if cleanup:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.table(query_name)
+
+
 def hourly_rollup_complete(
     spark,
     events: DataFrame,

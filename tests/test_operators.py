@@ -227,6 +227,52 @@ def test_repetition_stats_detects_duplication(spark):
     assert rows[2]["dup_gram_ratio"] == 0.0 and rows[2]["dup_word_ratio"] == 0.0
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a word run
+    of length >= k+w-1 (here 3+4-1=6 words) are GUARANTEED to share at
+    least one selected fingerprint, regardless of surrounding text."""
+    from html2text_spark.operators.textstats import winnow_fingerprints
+    from html2text_spark.operators.dedup import shingles, md5_int32
+    from pyspark.sql import functions as _F
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, "aa bb cc " + shared + " dd ee"),
+         (2, shared + " qq rr ss tt uu vv ww")],
+        "doc_id long, text string",
+    )
+    # recompute each doc's full selected set to intersect them
+    hashes = _F.transform(shingles("text", 3), lambda s: md5_int32(s))
+    n = _F.size(hashes)
+    sel = _F.array_distinct(
+        _F.transform(
+            _F.sequence(_F.lit(1), _F.greatest(n - _F.lit(3), _F.lit(1))),
+            lambda i: _F.array_min(_F.slice(hashes, i, 4)),
+        )
+    )
+    sets = {
+        r["doc_id"]: set(r["sel"])
+        for r in df.select("doc_id", sel.alias("sel")).collect()
+    }
+    assert sets[1] & sets[2], "shared 6-word run must share a fingerprint"
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    assert out[1]["n_fingerprints"] == len(sets[1])
+    assert out[1]["fp_min"] == min(sets[1])
+    assert out[1]["fp_checksum"] == sum(sets[1])
+
+
+def test_distinct_users_stream_matches_batch(spark):
+    from html2text_spark.streaming.windows import distinct_users_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    streamed = distinct_users_complete(
+        spark, events, query_name="t_distinct_stream"
+    )
+    got = {r["user_id"] for r in streamed.collect()}
+    exp = {r["user_id"] for r in events.select("user_id").distinct().collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_weighted_priority_sample_deterministic_and_biased(spark, docs):
     """The sample must be identical across repartitionings (no RNG
     state) and biased toward heavy rows (priority = weight/u)."""
