@@ -341,6 +341,13 @@ def q_sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized vectors (4-8x memory cut, the standard
+    billion-vector ANN lever); per-vector scales cancel in the cosine so
+    similarity is pure integer arithmetic -- exactly reproducible."""
+    return S.quantized_cosine_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; duplicates planted by unioning a
     lightly-perturbed copy of the embedding table."""
@@ -753,6 +760,7 @@ def queries() -> dict[str, _Q]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_det_topk": q_sim_ivf_det_topk,
+        "sim_quantized_topk": q_sim_quantized_topk,
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
@@ -1105,6 +1113,25 @@ select qid, vec_id, sim,
 from sims qualify rank <= 5
 """,
         "sim_ivf_det_topk": _ivf_det_sql(),
+        "sim_quantized_topk": """
+with e as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
+ sc as (select vec_id, emb,
+        greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 as scale
+        from e),
+ q as (select vec_id,
+       list_transform(emb, x -> round(x / scale)::BIGINT) as q from sc),
+ qs as (select vec_id as qid, q as qq from q where vec_id in (0,1,2,3,4)),
+ sims as (
+   select qid, q.vec_id,
+     round(list_aggregate(list_transform(list_zip(qq, q.q), x -> x[1]*x[2]), 'sum')::DOUBLE
+       / (sqrt(list_aggregate(list_transform(qq, x -> x*x), 'sum')::DOUBLE)
+        * sqrt(list_aggregate(list_transform(q.q, x -> x*x), 'sum')::DOUBLE)), 8) as sim
+   from qs, q where q.vec_id != qs.qid)
+select qid, vec_id, sim,
+       row_number() over (partition by qid order by sim desc, vec_id asc) as rank
+from sims qualify rank <= 5
+""",
+
         "dedup_embedding": f"""
 with e0 as (select vec_id, embedding::DOUBLE[] as emb from embeddings),
  corpus as (select vec_id, emb from e0

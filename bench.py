@@ -199,6 +199,7 @@ def main() -> int:
         "curation_pack",
         "curation_ngrams",
         "sim_ivf_det_topk",
+        "sim_quantized_topk",
         "dedup_clusters",
         "events_asof",
         "events_range_join",

@@ -322,3 +322,61 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors over INT8-quantized vectors.
+
+    Symmetric scalar quantization (q_i = round(x_i / (amax/127))) cuts
+    the vector footprint 4-8x -- the standard memory lever for
+    billion-vector ANN.  Key identity: the per-vector scales cancel in
+    the cosine, so similarity is computed ENTIRELY in integer dot
+    products (sum q_a*q_b <= 127^2 * dims, int64-safe) -- deterministic
+    at any parallelism and bit-reproducible in the SQL oracle, unlike
+    any float-accumulation scheme.  Same broadcast-query/window-top-k
+    plan as cosine_topk; recall vs the exact float cosine is asserted in
+    tests (int8 typically preserves the top-k set on normalized-ish
+    embeddings).
+    """
+    amax = F.aggregate(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x / scale).cast("long"),
+    )
+    corpus = emb.select(F.col(id_col).alias("vec_id"), quant.alias("q"))
+    queries = corpus.filter(
+        F.col("vec_id").isin(list(query_ids))
+    ).select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    joined = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(
+        idot(F.col("qq"), F.col("q")).cast("double")
+        / (
+            F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
+            * F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
+        ),
+        8,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -338,6 +338,27 @@ def test_ngram_jaccard_identical_docs(spark, docs):
     assert {(i, i + 10000) for i in range(5)} <= exact
 
 
+def test_quantized_topk_recall_vs_exact(spark, emb):
+    """int8 quantization must preserve most of the exact top-10 set
+    (scales cancel, so only the rounding perturbs the ordering)."""
+    from html2text_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    qids = [0, 1, 2, 3]
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(emb, qids, k=10).collect()
+    }
+    quant = {
+        (r["qid"], r["vec_id"])
+        for r in quantized_cosine_topk(emb, qids, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall too low: {recall}"
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, emb):
     from html2text_spark.operators.similarity import cosine_topk, lsh_topk
 
