@@ -192,6 +192,26 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.sql("drop table if exists t_lineitem_bucketed")
 
 
+def test_topk_windows_use_window_group_limit(spark):
+    """Every rank<=k window in the suite must trigger Spark's
+    WindowGroupLimit pushdown: a partial per-partition top-k runs BEFORE
+    the shuffle, so the exchange carries k rows per group instead of the
+    whole group.  Breaking the row_number/filter pattern (e.g. filtering
+    a derived column) silently degrades to a full per-group sort -- at
+    corpus scale that is the difference between shuffling k rows and
+    shuffling everything."""
+    import __spark_entry__ as e
+
+    for q in (
+        "curation_weighted_sample",
+        "sim_quantized_topk",
+        "sim_cosine_topk",
+        "rel_customer_order_ranks",
+    ):
+        plan = _plan(e.queries()[q](spark, SF))
+        assert "WindowGroupLimit" in plan, f"{q} lost rank-limit pushdown"
+
+
 def test_salt_stratified_spreads_monsters(spark):
     """Size-stratified salting must place every monster document in a
     DISTINCT partition (uniform hashing only balances expectation --
