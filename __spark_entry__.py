@@ -639,7 +639,7 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every ordinary event gets the
-    most recent high-value "checkpoint" event (value >= 0.9) of the same
+    most recent high-value "checkpoint" event of the same
     user (value >= 100, ~13% of events) at or before its timestamp;
     the remaining ~87% are the left side.  One shuffle on user_id via the
     union+running-window encoding -- no inequality-join fanout.  Oracle:

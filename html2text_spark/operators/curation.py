@@ -122,12 +122,9 @@ def weighted_priority_sample(
 
     One shuffle on the group key; the rank window keeps k rows/group.
     """
-    from .dedup import md5_int
+    from .dedup import unit_hash
 
-    u = (md5_int(F.col(id_col).cast("string")).cast("double") + F.lit(1.0)) / F.lit(
-        float(1 << 60)
-    )
-    pri = F.col(weight_col).cast("double") / u
+    pri = F.col(weight_col).cast("double") / unit_hash(F.col(id_col))
     w = Window.partitionBy(group_col).orderBy(
         F.desc("priority"), F.asc(id_col)
     )

@@ -44,6 +44,21 @@ def md5_int32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def unit_hash(col: Column) -> Column:
+    """Uniform (0,1] hash of a key: (md5_int(key::string)+1) / 2^60.
+
+    THE oracle-parity contract for hash-uniform randomness (KMV sketch,
+    priority sampling): DuckDB mirror is
+    ``((('0x'||substr(md5(x::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
+    / 1152921504606846976.0``.  Single definition on purpose -- a prefix
+    or scale change in one copy would silently break the other queries'
+    oracle equality.
+    """
+    return (md5_int(col.cast("string")).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+
+
 #: fixed (a, b) coefficients for the universal hash family
 #: h_i(x) = (a_i*x + b_i) mod _MERSENNE_P; odd a, deterministic constants
 _MERSENNE_P = (1 << 61) - 1
@@ -263,6 +278,15 @@ def connected_components(
         labels = new_labels.drop("_prev")
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split true components into
+        # multiple clusters (and keep near-duplicates); fail loudly --
+        # the caller can raise max_iters for pathological chain graphs
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"max_iters={max_iters}; raise max_iters (propagation "
+            "rounds needed = component diameter)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -354,24 +354,28 @@ def quantized_cosine_topk(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x / scale).cast("long"),
     )
-    corpus = emb.select(F.col(id_col).alias("vec_id"), quant.alias("q"))
-    queries = corpus.filter(
-        F.col("vec_id").isin(list(query_ids))
-    ).select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+    # norms precomputed ONCE per row: inside the join they would be
+    # re-evaluated per (query, corpus) pair -- 3 array folds per pair
+    # where 1 suffices
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), quant.alias("q")
+    ).withColumn("nrm", F.sqrt(idot(F.col("q"), F.col("q")).cast("double")))
+    queries = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
     )
     joined = F.broadcast(queries).crossJoin(corpus).filter(
         F.col("vec_id") != F.col("qid")
     )
     sim = F.round(
         idot(F.col("qq"), F.col("q")).cast("double")
-        / (
-            F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
-            * F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
-        ),
+        / (F.col("qnrm") * F.col("nrm")),
         8,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))

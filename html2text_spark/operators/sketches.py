@@ -23,22 +23,11 @@ mergeability demonstrated here are identical either way.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# 15 hex chars = 60 bits, exact in a double's 53-bit mantissa? no --
-# but both engines perform the SAME int->double division, so the
-# rounding is identical; 2^60 normalizes to (0, 1].
-_SCALE = float(1 << 60)
-
-
-def _unit_hash(col: Column) -> Column:
-    """Uniform (0,1] hash of the key, reproducible in ANSI SQL."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return (h.cast("double") + F.lit(1.0)) / F.lit(_SCALE)
+from .dedup import unit_hash
 
 
 def kmv_distinct(
@@ -56,7 +45,7 @@ def kmv_distinct(
     hashed = (
         df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
         .distinct()
-        .select("grp", _unit_hash(F.col("key")).alias("h"))
+        .select("grp", unit_hash(F.col("key")).alias("h"))
     )
     w = Window.partitionBy("grp").orderBy(F.asc("h"))
     ranked = hashed.withColumn("rank", F.row_number().over(w)).filter(

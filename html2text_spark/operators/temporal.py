@@ -94,7 +94,7 @@ def range_join_events(
     ts_col: str = "ts",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    bucket: str = "1 hour",
+    bucket_seconds: int = 3600,
 ) -> DataFrame:
     """Events |x| intervals where start <= ts < end, without the
     inequality-join cross product.
@@ -102,7 +102,7 @@ def range_join_events(
     Catalyst plans a bare ``e.ts >= i.start AND e.ts < i.end`` predicate
     (plus an equi-key) as a join whose range part is a post-filter over
     the per-key cross product -- quadratic on hot keys.  The scalable
-    encoding buckets time: each interval explodes into the hour buckets
+    encoding buckets time: each interval explodes into the time buckets
     it covers (``sequence()`` -- bounded by interval length / bucket),
     each event has exactly ONE bucket, and the join becomes a pure
     equi-join on (key, bucket) followed by the exact range filter.  An
@@ -111,19 +111,35 @@ def range_join_events(
     spreads hot keys across partitions, the same trick as salting but
     semantic.
 
+    Both sides floor to epoch multiples of ``bucket_seconds`` -- the
+    SAME expression, so every bucket width is correct by construction.
+    (An earlier revision hour-truncated the event side while the
+    interval side stepped by the bucket parameter: any non-hour bucket
+    silently dropped matches.)  Size ``bucket_seconds`` near the typical
+    interval length: too small explodes many bucket rows per interval,
+    too large puts many events in each bucket before the exact filter.
+
     Returns one row per (event, matching interval).
     """
-    ev = events.withColumn("_bkt", F.date_trunc("hour", F.col(ts_col)))
+
+    def _floor(col):
+        ts = F.col(col).cast("timestamp")
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(ts) / bucket_seconds).cast("long")
+            * bucket_seconds
+        )
+
+    ev = events.withColumn("_bkt", _floor(ts_col))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", F.col(start_col)),
+                _floor(start_col),
                 # end is exclusive, but an interval ending exactly on a
                 # bucket boundary still covers no event in that bucket;
                 # generating it is harmless (filtered below), simpler
-                F.date_trunc("hour", F.col(end_col)),
-                F.expr(f"interval {bucket}"),
+                _floor(end_col),
+                F.expr(f"interval {bucket_seconds} seconds"),
             )
         ),
     )

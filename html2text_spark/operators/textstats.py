@@ -120,8 +120,6 @@ def repetition_stats(df, text_col: str = "text", k: int = 3):
     training-data cleaning gate.  Pure codegen projection (size +
     array_distinct over the shingle array): zero shuffles, zero Python.
     """
-    from pyspark.sql import functions as F
-
     from .dedup import shingles
 
     grams = shingles(text_col, k)
@@ -158,8 +156,6 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 3, w: int = 4):
     selected-hash set summarized order-independently (count, int64 sum,
     min) so the result is hashable against the SQL oracle.
     """
-    from pyspark.sql import functions as F
-
     from .dedup import md5_int32, shingles
 
     # materialize the hash array in its own projection: referencing the

@@ -1,0 +1,54 @@
+"""Finite-input streaming completion harness, shared by every
+streamed-vs-oracle query (sessions, windowed rollup, dedup).
+
+Stages the finite DataFrame as ONE parquet file and runs the stream over
+it with Trigger.AvailableNow into a memory sink.  The single file is
+load-bearing: the file source admits one file's rows atomically, so
+exactly one micro-batch sees all data -- a multi-file stage could admit
+watermark-advancing rows (the far-future clock events the completion
+tricks append) BEFORE real events, jumping the watermark and silently
+dropping the rest as late.  Centralizing the staging keeps that
+invariant in one place instead of one copy per streaming operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+
+def run_finite_stream(
+    spark,
+    staged: DataFrame,
+    stream_fn: Callable[[DataFrame], DataFrame],
+    query_name: str,
+    work_dir: Optional[str] = None,
+) -> DataFrame:
+    """Write ``staged`` as one file, apply ``stream_fn`` to a readStream
+    of it, drain with availableNow into memory sink ``query_name`` and
+    return the resulting table."""
+    cleanup = work_dir is None
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="h2t_stream_")
+    in_dir = os.path.join(work_dir, "in")
+    staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    q = (
+        stream_fn(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if cleanup:
+        # the memory sink holds the rows; the staged input is disposable
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.table(query_name)

@@ -194,14 +194,7 @@ def sessionize_events_complete(
     ``sessionize_stream`` has no such assumption -- this helper is the
     finite-input completion harness.)
     """
-    import os
-    import shutil
-    import tempfile
-
-    cleanup = work_dir is None
-    if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="h2t_sessions_stream_")
-    in_dir = os.path.join(work_dir, "in")
+    from .harness import run_finite_stream
 
     horizon = events.agg(
         F.max(F.col("ts").cast("timestamp")).alias("m")
@@ -220,26 +213,14 @@ def sessionize_events_complete(
         .withColumn("ts", F.timestamp_add("DAY", F.lit(10), F.col("ts")))
     )
     cols = ["user_id", "ts", "event_type", "value"]
-    # ONE file => ONE micro-batch: a multi-file stage could admit clock
-    # rows before real events, jump the watermark 10 days ahead and
-    # silently drop the rest as late (see docstring)
-    events.select(*cols).unionAll(clock.select(*cols)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(in_dir)
-
-    stream = spark.readStream.schema(
-        spark.read.parquet(in_dir).schema
-    ).parquet(in_dir)
-    q = (
-        sessionize_stream(stream, gap_minutes=gap_minutes)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # the shared harness stages ONE file => ONE micro-batch: a
+    # multi-file stage could admit clock rows before real events, jump
+    # the watermark 10 days ahead and silently drop the rest as late
+    staged = events.select(*cols).unionAll(clock.select(*cols))
+    return run_finite_stream(
+        spark,
+        staged,
+        lambda s: sessionize_stream(s, gap_minutes=gap_minutes),
+        query_name,
+        work_dir,
     )
-    q.awaitTermination()
-    if cleanup:
-        # the memory sink holds the rows; the staged input is disposable
-        shutil.rmtree(work_dir, ignore_errors=True)
-    return spark.table(query_name)

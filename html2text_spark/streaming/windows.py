@@ -73,35 +73,18 @@ def distinct_users_complete(
     work_dir: str = None,
     query_name: str = "distinct_users_complete",
 ) -> DataFrame:
-    """Run the streaming dedup over a finite event set (single-batch
-    staging; no clock event needed -- dropDuplicates emits on first
-    sight, nothing waits on the watermark)."""
-    import os
-    import shutil
-    import tempfile
+    """Run the streaming dedup over a finite event set (shared harness;
+    no clock event needed -- dropDuplicates emits on first sight,
+    nothing waits on the watermark)."""
+    from .harness import run_finite_stream
 
-    cleanup = work_dir is None
-    if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="h2t_distinct_stream_")
-    in_dir = os.path.join(work_dir, "in")
-    events.select("user_id", "ts", "event_type", "value").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(in_dir)
-    stream = spark.readStream.schema(
-        spark.read.parquet(in_dir).schema
-    ).parquet(in_dir)
-    q = (
-        distinct_users_stream(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return run_finite_stream(
+        spark,
+        events.select("user_id", "ts", "event_type", "value"),
+        distinct_users_stream,
+        query_name,
+        work_dir,
     )
-    q.awaitTermination()
-    if cleanup:
-        shutil.rmtree(work_dir, ignore_errors=True)
-    return spark.table(query_name)
 
 
 def hourly_rollup_complete(
@@ -111,16 +94,9 @@ def hourly_rollup_complete(
     query_name: str = "hourly_rollup_complete",
 ) -> DataFrame:
     """Run the streaming rollup over a finite event set and emit EVERY
-    real window (see module docstring; single-batch staging as in
-    sessions.sessionize_events_complete -- one coalesced file)."""
-    import os
-    import shutil
-    import tempfile
-
-    cleanup = work_dir is None
-    if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="h2t_hourly_stream_")
-    in_dir = os.path.join(work_dir, "in")
+    real window (see module docstring; staged via the shared
+    single-batch harness)."""
+    from .harness import run_finite_stream
 
     horizon = events.agg(
         F.max(F.col("ts").cast("timestamp")).alias("m")
@@ -130,22 +106,7 @@ def hourly_rollup_complete(
         "user_id long, ts timestamp, event_type string, value double",
     ).withColumn("ts", F.timestamp_add("DAY", F.lit(10), F.col("ts")))
     cols = ["user_id", "ts", "event_type", "value"]
-    events.select(*cols).unionAll(clock.select(*cols)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(in_dir)
-
-    stream = spark.readStream.schema(
-        spark.read.parquet(in_dir).schema
-    ).parquet(in_dir)
-    q = (
-        hourly_rollup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    staged = events.select(*cols).unionAll(clock.select(*cols))
+    return run_finite_stream(
+        spark, staged, hourly_rollup_stream, query_name, work_dir
     )
-    q.awaitTermination()
-    if cleanup:
-        shutil.rmtree(work_dir, ignore_errors=True)
-    return spark.table(query_name)

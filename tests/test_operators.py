@@ -93,6 +93,19 @@ def test_connected_components_long_path_converges(spark):
     assert all(r["cluster_id"] == 1 for r in out)
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_iters with labels still moving must fail loudly --
+    silently returning split components would keep near-duplicates."""
+    import pytest as _pytest
+
+    from html2text_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 10)]  # diameter 9
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+
+
 def test_canonical_filter_keeps_unclustered_and_canonical(spark, docs):
     from html2text_spark.operators.dedup import canonical_filter
 
@@ -180,6 +193,31 @@ def test_range_join_semantics(spark):
         ("11:29:59", "11:00:00"),   # ...and inside overlapping interval 2
         ("11:30:00", "11:00:00"),   # end exclusive for interval 1
     ]  # event of key b matches nothing
+
+
+def test_range_join_non_hour_bucket(spark):
+    """Regression: both sides must floor with the SAME bucket width --
+    an earlier revision hour-truncated events while intervals stepped by
+    the bucket parameter, silently dropping matches for any non-hour
+    bucket."""
+    from html2text_spark.operators.temporal import range_join_events
+
+    events = spark.createDataFrame(
+        [("a", "2024-01-01 11:15:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("a", "2024-01-01 10:30:00", "2024-01-01 13:30:00")],
+        "k string, start_ts string, end_ts string",
+    ).select(
+        "k",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    for secs in (7200, 86400, 900):
+        rows = range_join_events(
+            events, intervals, key="k", bucket_seconds=secs
+        ).collect()
+        assert len(rows) == 1, f"bucket_seconds={secs} dropped the match"
 
 
 def test_range_join_no_cross_product(spark):
