@@ -115,20 +115,20 @@ def _fast_tokenize(html_text: str) -> Optional[list]:
         if m is None:
             return None  # exotic construct: let HTMLParser decide
         pos = m.end()
-        decl = m.group("decl")
+        # one groups() call instead of up to 8 group() calls per tag --
+        # this loop runs once per tag of every eligible document
+        end, ename, name, raw_attrs, selfclose, comment, decl, pi = m.groups()
         if decl is not None and decl.startswith("--"):
             # '<!--' without a well-formed '-->' (e.g. '<!-->'): HTMLParser
             # treats these as unterminated-comment lookalikes with their
             # own recovery rules -- fall back rather than guess
             return None
-        if m.group("comment") is not None or decl is not None \
-                or m.group("pi") is not None:
+        if comment is not None or decl is not None or pi is not None:
             continue  # dropped, like handle_comment/decl/pi
-        if m.group("end"):
-            events.append(("end", m.group("ename").lower()))
+        if end:
+            events.append(("end", ename.lower()))
             continue
-        name = m.group("name").lower()
-        raw_attrs = m.group("attrs")
+        name = name.lower()
         if raw_attrs:
             attrs = _FAST_ATTR_RE.findall(raw_attrs)
             attrs = [
@@ -137,7 +137,6 @@ def _fast_tokenize(html_text: str) -> Optional[list]:
             ]
         else:
             attrs = []
-        selfclose = bool(m.group("selfclose"))
         events.append(("start", name, attrs))
         if selfclose:
             events.append(("end", name))
