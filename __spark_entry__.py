@@ -451,8 +451,10 @@ def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: documents laid out per source, chunked into
-    512-token training windows by running offset."""
+    """Sequence packing: documents laid out per (source, md5 shard),
+    chunked into 512-token training windows by running offset.  Sharding
+    keeps the running-sum window partition bounded (~|source|/16) even
+    when one source dominates the corpus."""
     docs = _docs(spark, sf_dir)
     with_tokens = docs.select(
         "doc_id",
@@ -1283,22 +1285,23 @@ where ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 10
 """,
         "curation_pack": f"""
 with t as (select doc_id, source,
+           ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 16 as shard,
            len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}'))::BIGINT as n_tokens
            from documents),
- c as (select doc_id, source, n_tokens,
-       sum(n_tokens) over (partition by source order by doc_id
+ c as (select doc_id, source, shard, n_tokens,
+       sum(n_tokens) over (partition by source, shard order by doc_id
                            rows unbounded preceding) as cum from t)
-select source, floor((cum - n_tokens) / 512.0)::BIGINT as pack_id,
+select source, shard, floor((cum - n_tokens) / 512.0)::BIGINT as pack_id,
        count(*) as docs, sum(n_tokens)::BIGINT as pack_tokens,
        min(doc_id) as first_doc, max(doc_id) as last_doc
-from c group by 1, 2
+from c group by 1, 2, 3
 """,
         "curation_weighted_sample": """
 with h as (select doc_id, lang, n_chars,
   n_chars::DOUBLE /
     (((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
       / 1152921504606846976.0) as pri
-  from documents),
+  from documents where n_chars > 0),
  r as (select doc_id, lang, n_chars, pri,
        row_number() over (partition by lang order by pri desc, doc_id asc) as rank
        from h)

@@ -46,26 +46,43 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    shards: int = 16,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget packs (training sequences).
 
-    Documents are ordered deterministically (by id) within each group;
-    a document belongs to pack ``floor(preceding_tokens / window)`` --
-    the standard concat-and-chunk layout.  Returns per-pack stats.  One
-    shuffle (window partition by group); pack count ~ total_tokens /
-    window_tokens.  At corpus scale, partition by group first and the
-    running sum stays partition-local.
+    The running-sum window partitions by (group, shard) with
+    ``shard = md5(doc_id) % shards`` -- a pure deterministic function of
+    the id, so the layout is stable across retries and mirrorable in the
+    SQL oracle.  Partitioning by group alone would hand one task an
+    ENTIRE source's documents to sort and scan (a source is corpus-sized
+    at the 10^12-row design point); real pipelines pack per shard anyway,
+    since packs never span shard files.  Within each (group, shard),
+    documents are ordered by id and a document belongs to pack
+    ``floor(preceding_tokens / window)`` -- the standard concat-and-chunk
+    layout.  Returns per-pack stats keyed (group, shard, pack_id).  One
+    shuffle; the largest window partition is ~|group| / shards rows, so
+    ``shards`` is the knob that bounds task size independently of source
+    skew.
     """
+    if shards < 1:
+        raise ValueError(f"pack_sequences: shards={shards} < 1")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % shards
+    )
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
     pack = F.floor((cum - F.col(tokens_col)) / F.lit(window_tokens))
     return (
-        df.withColumn("pack_id", pack)
-        .groupBy(group_col, "pack_id")
+        df.withColumn("shard", shard)
+        .withColumn("pack_id", pack)
+        .groupBy(group_col, "shard", "pack_id")
         .agg(
             F.count("*").alias("docs"),
             F.sum(tokens_col).alias("pack_tokens"),
@@ -121,9 +138,15 @@ def weighted_priority_sample(
     pow differs in the last ulp across platforms).
 
     One shuffle on the group key; the rank window keeps k rows/group.
+
+    Weights must be POSITIVE: w = 0 gives priority 0 (harmlessly never
+    sampled) but w < 0 inverts the priority ordering and silently yields
+    a nonsense sample, so non-positive weights are filtered out up front
+    (mirror ``WHERE w > 0`` in any oracle).
     """
     from .dedup import unit_hash
 
+    df = df.filter(F.col(weight_col) > 0)
     pri = F.col(weight_col).cast("double") / unit_hash(F.col(id_col))
     w = Window.partitionBy(group_col).orderBy(
         F.desc("priority"), F.asc(id_col)

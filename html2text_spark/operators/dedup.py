@@ -235,6 +235,10 @@ def connected_components(
     The exact fixpoint is mirrored by the DuckDB oracle's recursive CTE
     (min over the transitive closure), so the operator is value-checkable.
     """
+    if max_iters < 1:
+        # the for/else below would raise "did not converge" without ever
+        # running a round -- even for empty input
+        raise ValueError(f"connected_components: max_iters={max_iters} < 1")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(
@@ -284,8 +288,8 @@ def connected_components(
         # the caller can raise max_iters for pathological chain graphs
         raise RuntimeError(
             "connected_components did not converge within "
-            f"max_iters={max_iters}; raise max_iters (propagation "
-            "rounds needed = component diameter)"
+            f"max_iters={max_iters}; raise max_iters (rounds needed = "
+            "component diameter + 1 confirming no-change round)"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

@@ -45,8 +45,25 @@ def _pct(col: str) -> Column:
 
 def _sum_wide(col: Column) -> Column:
     """Sum an integer expression through a 128-bit decimal accumulator
-    (exact past int64; see module docstring) and return it as bigint."""
-    return F.sum(col.cast("decimal(38,0)")).cast("long")
+    (exact past int64; see module docstring) and return it as bigint.
+
+    The final narrowing cast is guarded: with ANSI off a decimal ->
+    bigint cast past +/-2^63 silently produces NULL, diverging from the
+    DuckDB HUGEINT oracle at exactly the scale the wide accumulator
+    exists for.  A per-group sum that genuinely exceeds int64 raises
+    instead (one comparison on the one-row-per-group final aggregate --
+    free), at which point the caller should return the decimal column
+    itself."""
+    dec = F.sum(col.cast("decimal(38,0)"))
+    in_range = dec.between(F.lit(-(1 << 63)), F.lit((1 << 63) - 1))
+    return F.when(dec.isNull() | in_range, dec.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("_sum_wide: group sum overflows bigint: "),
+                dec.cast("string"),
+            )
+        )
+    )
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:

@@ -50,7 +50,27 @@ def asof_join(
     running value per payload column.
     """
     pay = list(payload_cols)
+    if len(set(pay)) != len(pay):
+        raise ValueError(f"asof_join: duplicate payload_cols {pay}")
+    bad = [c for c in pay if c in (key, ts_col)]
+    if bad:
+        raise ValueError(
+            f"asof_join: payload_cols may not include the join key or "
+            f"timestamp column {bad} -- they are already carried through"
+        )
     left_cols = left.columns
+    # the union/window encoding synthesizes these names; a left column
+    # shadowing one would silently corrupt the running-last state
+    internal = {"_side", "_r_ts", f"{prefix}{ts_col}", f"{prefix}ts"}
+    for c in pay:
+        internal.add(f"_r_{c}")
+        internal.add(f"{prefix}{c}")
+    clash = sorted(internal.intersection(left_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with internal/"
+            f"output names; rename them or pick another prefix"
+        )
     l_tag = left.select(
         *left_cols,
         F.lit(1).alias("_side"),
@@ -130,6 +150,10 @@ def range_join_events(
         )
 
     ev = events.withColumn("_bkt", _floor(ts_col))
+    # a malformed interval (end < start) would make sequence() throw a
+    # runtime error deep inside the stage; with end exclusive such rows
+    # can match nothing, so dropping them is both safe and graceful
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(

@@ -539,10 +539,12 @@ def test_pack_sequences_budget_invariants(spark, docs):
     )
     packs = pack_sequences(with_tokens, window_tokens=256).collect()
     assert sum(r["docs"] for r in packs) == docs.count()
-    # every pack except a group's last must have crossed the window
+    # every pack except a group's last must have crossed the window;
+    # the packing unit is (source, md5-shard) -- invariants hold per unit
     by_grp = {}
     for r in packs:
-        by_grp.setdefault(r["source"], []).append(r)
+        by_grp.setdefault((r["source"], r["shard"]), []).append(r)
+    assert len({s for (_, s) in by_grp}) > 1, "sharding should spread docs"
     for grp, rows in by_grp.items():
         rows.sort(key=lambda r: r["pack_id"])
         # pack ids are the contiguous chunk indices of the running offset
@@ -552,6 +554,9 @@ def test_pack_sequences_budget_invariants(spark, docs):
         # doc ranges do not overlap across consecutive packs
         for prev, nxt in zip(rows, rows[1:]):
             assert prev["last_doc"] <= nxt["first_doc"]
+    # shards=1 degenerates to the unsharded layout (single shard value 0)
+    single = pack_sequences(with_tokens, window_tokens=256, shards=1)
+    assert {r["shard"] for r in single.select("shard").distinct().collect()} == {0}
 
 
 def test_top_ngrams_rank_and_ties(spark, docs):
@@ -789,3 +794,112 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     again = {(r["qid"], r["vec_id"], r["rank"]) for r in
              ivf_topk(emb, qids, k=10, n_cells=16, n_probe=4).collect()}
     assert again == {(r["qid"], r["vec_id"], r["rank"]) for r in approx}
+
+
+def test_asof_join_rejects_colliding_payload(spark):
+    """payload_cols that name the key/ts or collide with the internal
+    `_r_*`/prefixed output columns must fail fast with a clear error,
+    not produce an ambiguous-column failure deep in the window plan."""
+    import pytest as _pytest
+
+    from html2text_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0)], "user_id long, ts long, value double"
+    )
+    with _pytest.raises(ValueError, match="join key or"):
+        asof_join(left, right, payload_cols=("ts",))
+    with _pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, right, payload_cols=("value", "value"))
+    bad_left = left.withColumn("asof_value", F.lit(0))
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(bad_left, right, payload_cols=("value",))
+
+
+def test_range_join_malformed_intervals_filtered(spark):
+    """An interval with end < start can match nothing (end exclusive);
+    it must be dropped gracefully, not crash sequence() mid-stage."""
+    from html2text_spark.operators.temporal import range_join_events
+
+    events = spark.createDataFrame(
+        [("a", "2024-01-01 10:30:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("a", "2024-01-01 12:00:00", "2024-01-01 09:00:00"),   # end < start
+         ("a", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),   # empty
+         ("a", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],  # real
+        "k string, start_ts string, end_ts string",
+    ).select(
+        "k",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    rows = range_join_events(events, intervals, key="k").collect()
+    assert len(rows) == 1
+    assert str(rows[0]["start_ts"]).endswith("10:00:00")
+
+
+def test_connected_components_max_iters_guard(spark):
+    """max_iters=0 must be rejected up front -- the for/else otherwise
+    raises 'did not converge' even for empty input."""
+    import pytest as _pytest
+
+    from html2text_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="max_iters"):
+        connected_components(pairs, max_iters=0)
+    # empty input with a sane max_iters converges to an empty result
+    assert connected_components(pairs, max_iters=3).count() == 0
+
+
+def test_connected_components_giant_component(spark):
+    """Planted 1000-member cluster (one giant component, the skewed
+    shape LSH emits for boilerplate-heavy corpora): a hub-and-spoke +
+    chain mix has small diameter, so label propagation must converge in
+    few rounds with no driver blowup -- the evidence behind the
+    'rounds = diameter' scale argument."""
+    from html2text_spark.operators.dedup import connected_components
+
+    # hub-and-spoke with a short tail: node 999 sits 5 hops from the
+    # min-label node 0, so propagation needs 5 rounds + 1 confirming
+    # no-change round.  max_iters=7 (one slack) far below the 1000-row
+    # member count IS the round-count assertion -- the operator raises
+    # on exhaustion, so convergence inside it proves rounds track the
+    # diameter, not the cluster size.
+    hub = [(0, i) for i in range(1, 996)]
+    tail = [(995 + i, 996 + i) for i in range(4)]  # 995-996-...-999
+    pairs = spark.createDataFrame(hub + tail, "doc_a long, doc_b long")
+    out = connected_components(pairs, max_iters=7).collect()
+    assert len(out) == 1000
+    assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_weighted_priority_sample_rejects_nonpositive_weights(spark):
+    """w <= 0 rows are filtered: w < 0 would invert the priority order
+    and silently corrupt the sample."""
+    from html2text_spark.operators.curation import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", -5), (3, "g", 0), (4, "g", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r["doc_id"] for r in
+           weighted_priority_sample(df, "n_chars", "lang", k=10).collect()}
+    assert got == {1, 4}
+
+
+def test_sum_wide_overflow_raises_not_nulls(spark):
+    """A per-group sum past int64 must raise loudly instead of the
+    silent NULL a bare decimal->bigint cast yields with ANSI off."""
+    import pytest as _pytest
+
+    from html2text_spark.operators.relational import _sum_wide
+
+    big = (1 << 62) + 7
+    ok = spark.createDataFrame([(big,), (1,)], "v long")
+    assert ok.agg(_sum_wide(F.col("v")).alias("s")).collect()[0]["s"] == big + 1
+    over = spark.createDataFrame([(big,), (big,), (big,)], "v long")
+    with _pytest.raises(Exception, match="overflows bigint"):
+        over.agg(_sum_wide(F.col("v")).alias("s")).collect()
