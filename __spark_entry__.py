@@ -122,11 +122,13 @@ def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivable, so the full markdown string -- not just counts -- is
     value-hashed against the DuckDB oracle.  Covers headings, paragraphs,
     list items (`  * w`), an inline link (`[w](url)`), emphasis (`_w_`),
-    strong (`**w**`) and blockquote (`> w`) -- reference semantics per
+    strong (`**w**`), blockquote (`> w`), a 2x2 markdown table
+    (`a| b` rows + `---|---` underline), a `<pre>` code block (4-space
+    indent) and an `<img>` (`![alt](src)`) -- reference semantics per
     /root/reference/src/Processors/TagProcessor.php:123 (headers), :420
-    (li), :595 (a end), :210/:233 (em/strong), :199 (blockquote).  Any
-    converter regression in these paths breaks a CORRECTNESS hash, not
-    just pytest.
+    (li), :595 (a end), :210/:233 (em/strong), :199 (blockquote),
+    :477-519 (tables), :521-537 (pre), :311-382 (img).  Any converter
+    regression in these paths breaks a CORRECTNESS hash, not just pytest.
     """
     from html2text_spark.core.config import Config
 
@@ -157,7 +159,23 @@ def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w1,
                     F.lit("</strong></p><blockquote>"),
                     w2,
-                    F.lit("</blockquote>"),
+                    F.lit("</blockquote><table><tr><th>"),
+                    w1,
+                    F.lit("</th><th>"),
+                    w2,
+                    F.lit("</th></tr><tr><td>"),
+                    w2,
+                    F.lit("</td><td>"),
+                    w1,
+                    F.lit("</td></tr></table><pre>"),
+                    w1,
+                    F.lit(" "),
+                    w2,
+                    F.lit('</pre><p><img src="http://img/'),
+                    F.col("doc_id").cast("string"),
+                    F.lit('.png" alt="'),
+                    w1,
+                    F.lit('"/></p>'),
                 ).alias("text"),
                 F.lit("").alias("media_ref"),
                 F.lit(0).cast("int").alias("offset"),
@@ -530,6 +548,41 @@ def q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe EXACT percentiles: the histogram twin of
+    ``text_percentiles``.  Identical values, but no task ever buffers a
+    group's raw values -- the (lang, n_chars) histogram's survivor set is
+    bounded by the value domain, not the corpus (see
+    textstats.group_percentiles_exact).  This is the form that survives
+    the 10^12-row design point; the percentile() form stays as the
+    independent oracle anchor."""
+    return T.group_percentiles_exact(
+        _docs(spark, sf_dir), value_col="n_chars", group_col="lang"
+    )
+
+
+def q_text_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin (GK sketch, mergeable, bounded memory):
+    accuracy=10000 bounds the rank error at n/10000 (<= 1 rank for these
+    groups).  The sketch's picked values are engine-specific, so this
+    entry is rows+schema checked only -- exactness is carried by the two
+    hash-green twins ``text_percentiles`` (oracle anchor) and
+    ``text_percentiles_hist`` (scale-safe exact)."""
+    docs = _docs(spark, sf_dir)
+    q = F.expr(
+        "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+    )
+    agg = docs.groupBy("lang").agg(q.alias("qs"), F.count("*").alias("docs"))
+    return agg.select(
+        "lang",
+        F.col("qs")[0].cast("double").alias("p25"),
+        F.col("qs")[1].cast("double").alias("p50"),
+        F.col("qs")[2].cast("double").alias("p75"),
+        F.col("qs")[3].cast("double").alias("p95"),
+        "docs",
+    )
+
+
 def q_curation_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 word bigrams per language (vocabulary statistics)."""
     return C.top_ngrams(_docs(spark, sf_dir), n=2, k=10)
@@ -782,6 +835,8 @@ def queries() -> dict[str, _Q]:
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
         "text_percentiles": q_text_percentiles,
+        "text_percentiles_hist": q_text_percentiles_hist,
+        "text_percentiles_approx": q_text_percentiles_approx,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_top_brands": q_rel_top_brands,
@@ -1004,7 +1059,17 @@ with md as (
                 || doc_id::VARCHAR || ') _' || split_part(text, ' ', 2)
                 || '_ **' || split_part(text, ' ', 1) || '**'
                 || chr(10) || chr(10)
-         || '> ' || split_part(text, ' ', 2) || chr(10) as markdown
+         || '> ' || split_part(text, ' ', 2) || chr(10) || chr(10)
+         || split_part(text, ' ', 1) || '| ' || split_part(text, ' ', 2)
+                || '  ' || chr(10)
+         || '---|---  ' || chr(10)
+         || split_part(text, ' ', 2) || '| ' || split_part(text, ' ', 1)
+                || '  ' || chr(10)
+         || '      ' || chr(10) || '    ' || chr(10)
+         || '    ' || split_part(text, ' ', 1) || ' '
+                || split_part(text, ' ', 2) || chr(10) || chr(10)
+         || '![' || split_part(text, ' ', 1) || '](http://img/'
+                || doc_id::VARCHAR || '.png)' || chr(10) as markdown
   from documents)
 select doc_id, markdown,
   length(markdown)::INT as md_len,
@@ -1373,6 +1438,33 @@ select lang,
   quantile_cont(n_chars, 0.95) as p95,
   count(*) as docs
 from documents group by lang
+""",
+        # identical IEEE operation order as group_percentiles_exact:
+        # idx = p*(n-1); v = lo + (hi-lo)*frac over the value histogram
+        "text_percentiles_hist": """
+with hist as (select lang, n_chars::DOUBLE as v, count(*) as cnt
+              from documents group by 1, 2),
+ c as (select lang, v,
+       sum(cnt) over (partition by lang order by v
+                      rows unbounded preceding) as cum,
+       sum(cnt) over (partition by lang) as n from hist),
+ a as (select lang, max(n) as n,
+   min(case when cum >= floor(0.25::DOUBLE*(n-1))+1 then v end) as lo0,
+   min(case when cum >= floor(0.25::DOUBLE*(n-1))+2 then v end) as hi0,
+   min(case when cum >= floor(0.5::DOUBLE*(n-1))+1 then v end) as lo1,
+   min(case when cum >= floor(0.5::DOUBLE*(n-1))+2 then v end) as hi1,
+   min(case when cum >= floor(0.75::DOUBLE*(n-1))+1 then v end) as lo2,
+   min(case when cum >= floor(0.75::DOUBLE*(n-1))+2 then v end) as hi2,
+   min(case when cum >= floor(0.95::DOUBLE*(n-1))+1 then v end) as lo3,
+   min(case when cum >= floor(0.95::DOUBLE*(n-1))+2 then v end) as hi3
+   from c group by lang)
+select lang,
+  lo0 + (coalesce(hi0, lo0) - lo0) * (0.25::DOUBLE*(n-1) - floor(0.25::DOUBLE*(n-1))) as p25,
+  lo1 + (coalesce(hi1, lo1) - lo1) * (0.5::DOUBLE*(n-1)  - floor(0.5::DOUBLE*(n-1)))  as p50,
+  lo2 + (coalesce(hi2, lo2) - lo2) * (0.75::DOUBLE*(n-1) - floor(0.75::DOUBLE*(n-1))) as p75,
+  lo3 + (coalesce(hi3, lo3) - lo3) * (0.95::DOUBLE*(n-1) - floor(0.95::DOUBLE*(n-1))) as p95,
+  n::BIGINT as docs
+from a
 """,
         "curation_ngrams": """
 with w as (select lang, regexp_split_to_array(trim(text), '\\s+') as words from documents),

@@ -186,3 +186,65 @@ def winnow_fingerprints(df, text_col: str = "text", k: int = 3, w: int = 4):
         ).alias("fp_checksum"),
         F.array_min("_sel").alias("fp_min"),
     )
+
+
+def group_percentiles_exact(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """EXACT interpolated percentiles per group, computed scale-safely
+    via a value histogram -- the 100 TB twin of ``percentile()``.
+
+    Spark's ``percentile()`` aggregate buffers every group value in the
+    partial aggregation buffers (ObjectHashAggregate), so one task
+    ultimately holds an entire group's values -- corpus-sized at the
+    design point.  For a DISCRETE value domain (lengths, counts, scores
+    in fixed precision) the same exact result falls out of the value
+    histogram: groupBy(group, value) is a uniform two-key aggregate
+    whose survivor set is |distinct values| per group (bounded by the
+    domain, NOT the corpus), and the cumulative-count window over it is
+    tiny.  Interpolation follows the percentile_cont definition
+    (idx = p*(n-1); v = lo + (hi-lo)*frac), written with the identical
+    IEEE operation order in the DuckDB oracle so values hash bit-equal.
+
+    Two shuffles: (group, value) aggregate, then the per-group window
+    over the (small) histogram.  No per-value state anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    c = hist.select(
+        group_col,
+        F.col(value_col).cast("double").alias("v"),
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for i, p in enumerate(ps):
+        # value at 0-based rank r is the first histogram row whose
+        # cumulative count exceeds r; idx = p*(n-1) is constant per group
+        lo_rank = F.floor(F.lit(p) * (F.col("n") - 1))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= lo_rank + 1, F.col("v"))).alias(f"_lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= lo_rank + 2, F.col("v"))).alias(f"_hi{i}")
+        )
+    a = c.groupBy(group_col).agg(*aggs)
+    out = [F.col(group_col)]
+    for i, p in enumerate(ps):
+        idx = F.lit(p) * (F.col("n") - 1)
+        frac = idx - F.floor(idx)
+        lo, hi = F.col(f"_lo{i}"), F.coalesce(F.col(f"_hi{i}"), F.col(f"_lo{i}"))
+        # round() not int(): int(0.95*100) is 94 (binary-float truncation)
+        out.append((lo + (hi - lo) * frac).alias(f"p{round(p * 100)}"))
+    out.append(F.col("n").cast("long").alias("docs"))
+    return a.select(*out)

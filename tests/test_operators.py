@@ -903,3 +903,33 @@ def test_sum_wide_overflow_raises_not_nulls(spark):
     over = spark.createDataFrame([(big,), (big,), (big,)], "v long")
     with _pytest.raises(Exception, match="overflows bigint"):
         over.agg(_sum_wide(F.col("v")).alias("s")).collect()
+
+
+def test_group_percentiles_hist_matches_percentile_exactly(spark, docs):
+    """The histogram percentile (scale-safe) must reproduce Spark's own
+    percentile() aggregate value-for-value -- same percentile_cont
+    interpolation, different (bounded-memory) physical computation."""
+    from html2text_spark.operators.textstats import group_percentiles_exact
+
+    hist = {
+        r["lang"]: (r["p25"], r["p50"], r["p75"], r["p95"], r["docs"])
+        for r in group_percentiles_exact(docs, "n_chars", "lang").collect()
+    }
+    ref = {
+        r["lang"]: (*r["qs"], r["docs"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", F.lit([0.25, 0.5, 0.75, 0.95])).alias("qs"),
+            F.count("*").alias("docs"),
+        )
+        .collect()
+    }
+    assert hist == ref  # bit-exact, not approx
+
+
+def test_group_percentiles_hist_single_row_group(spark):
+    from html2text_spark.operators.textstats import group_percentiles_exact
+
+    df = spark.createDataFrame([("g", 7)], "lang string, n_chars long")
+    row = group_percentiles_exact(df, "n_chars", "lang").collect()[0]
+    assert (row["p25"], row["p50"], row["p95"], row["docs"]) == (7.0, 7.0, 7.0, 1)

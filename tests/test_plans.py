@@ -206,7 +206,11 @@ def test_topk_windows_use_window_group_limit(spark):
         "curation_weighted_sample",
         "sim_quantized_topk",
         "sim_cosine_topk",
+        "sim_lsh_topk",
+        "sim_ivf_det_topk",
         "rel_customer_order_ranks",
+        "events_kmv_users",
+        "curation_ngrams",
     ):
         plan = _plan(e.queries()[q](spark, SF))
         assert "WindowGroupLimit" in plan, f"{q} lost rank-limit pushdown"
