@@ -674,6 +674,22 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_segments_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stream-static join (events stream |x| broadcast customer
+    dimension) + watermarked hourly rollup per market segment -- the
+    fourth streaming family (enrichment), driven to completeness so the
+    streamed append output equals the batch join+rollup exactly."""
+    from html2text_spark.streaming.enrich import segment_rollup_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return segment_rollup_complete(
+        spark, events, customer,
+        query_name=f"segment_rollup_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
 def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING sessionization (applyInPandasWithState, EventTimeTimeout)
     driven to completeness: synthetic far-future clock events close every
@@ -783,6 +799,60 @@ def q_curation_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionAll(dropped)
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: (type, bucket), (type), (bucket), () in one
+    pass -- the full-lattice companion to events_rollup's hierarchy.
+    Order-independent aggregates only, so exact at any parallelism."""
+    events = _tbl(spark, sf_dir, "events")
+    return events.cube(
+        "event_type", (F.col("user_id") % 4).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("events"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.min("value"), 8).alias("min_value"),
+        F.round(F.max("value"), 8).alias("max_value"),
+    )
+
+
+def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: downsample over-represented sources toward an equal
+    share (curation.mix_sources) -- pure-hash keep decision, |sources|-row
+    broadcast dimension, zero corpus shuffles before the audit agg."""
+    return C.mix_sources(_docs(spark, sf_dir))
+
+
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL distinct-users per event type beside the exact
+    count, asserting the sketch's accuracy CONTRACT in-query: the
+    estimate's registers are engine-internal (not hashable), but
+    |est - exact| / exact <= 5% IS -- so this entry stays on the exact
+    oracle while exercising the built-in mergeable sketch the KMV
+    operator mirrors (operators/sketches.py::hll_distinct)."""
+    from html2text_spark.operators.sketches import hll_distinct
+
+    events = _tbl(spark, sf_dir, "events")
+    hll = hll_distinct(events, key_col="user_id", group_col="event_type")
+    exact = events.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("users_exact")
+    )
+    return exact.join(F.broadcast(hll), "grp").select(
+        "grp",
+        "users_exact",
+        (
+            F.abs(F.col("hll_users") - F.col("users_exact"))
+            <= 0.05 * F.col("users_exact")
+        ).alias("hll_within_5pct"),
+    )
+
+
+def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient words per language by tf * (N/df) -- linear idf so
+    the score is integer-product/IEEE-division exact cross-engine (same
+    ordering as any monotone idf; libm log would diverge in the last
+    ulp)."""
+    return T.salient_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_fake_media(_docs(spark, sf_dir))
     feats = M.extract_media_features(media)
@@ -821,12 +891,17 @@ def queries() -> dict[str, _Q]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
         "events_kmv_users": q_events_kmv_users,
+        "events_hll_users": q_events_hll_users,
         "curation_holdout": q_curation_holdout,
+        "curation_mix": q_curation_mix,
+        "text_salient_terms": q_text_salient_terms,
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
         "events_hourly_stream": q_events_hourly_stream,
         "events_dedup_stream": q_events_dedup_stream,
+        "events_segments_stream": q_events_segments_stream,
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_ngrams": q_curation_ngrams,
@@ -1256,6 +1331,14 @@ select date_trunc('hour', ts) as hour, event_type,
        round(max(value), 8) as max_value
 from events group by 1, 2
 """,
+        "events_segments_stream": """
+select date_trunc('hour', e.ts) as hour, c.c_mktsegment as segment,
+       count(*) as events,
+       round(min(e.value), 8) as min_value,
+       round(max(e.value), 8) as max_value
+from events e join customer c on e.user_id = c.c_custkey
+group by 1, 2
+""",
         "events_asof": """
 with l as (select user_id, ts, event_type from events where value < 100),
  r as (select user_id, ts, round(max(value), 8) as value
@@ -1282,6 +1365,54 @@ select date_trunc('hour', ts) as hour, event_type,
        round(max(value), 8) as max_value
 from events
 group by rollup(date_trunc('hour', ts), event_type)
+""",
+        "events_cube": """
+select event_type, user_id % 4 as user_bucket,
+       count(*) as events,
+       count(distinct user_id) as users,
+       round(min(value), 8) as min_value,
+       round(max(value), 8) as max_value
+from events
+group by cube(event_type, user_id % 4)
+""",
+        # the HLL registers are engine-internal; the oracle checks the
+        # exact count and the in-query accuracy-contract boolean
+        "events_hll_users": """
+select event_type as grp, count(distinct user_id) as users_exact,
+       true as hll_within_5pct
+from events group by 1
+""",
+        "curation_mix": """
+with c as (select source, count(*) as grp_docs from documents group by 1),
+ t as (select source, grp_docs, sum(grp_docs) over () as total,
+       count(*) over () as n_grps from c),
+ r as (select source, grp_docs,
+       least(1.0::DOUBLE, (total::DOUBLE / n_grps) / grp_docs) as rate
+       from t)
+select d.source, max(r.grp_docs) as docs, count(*) as kept,
+       round(max(r.rate), 6) as rate
+from documents d join r on d.source = r.source
+where ((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
+      / 1152921504606846976.0 <= r.rate
+group by d.source
+""",
+        "text_salient_terms": """
+with w as (select lang as grp, doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) as word
+           from documents),
+ s as (select grp, word, count(*) as tf, count(distinct doc_id) as df
+       from w group by 1, 2),
+ g as (select lang as grp, count(distinct doc_id) as n_docs
+       from documents group by 1),
+ sc as (select s.grp, word, tf, s.df,
+        ((tf * n_docs)::DOUBLE / s.df) as score
+        from s join g on s.grp = g.grp),
+ r as (select grp, word, tf, df, score,
+       row_number() over (partition by grp
+                          order by score desc, tf desc, word asc) as rank
+       from sc)
+select grp, word, tf, df, round(score, 6) as score, rank
+from r where rank <= 5
 """,
         "events_kmv_users": """
 with d as (select distinct event_type as grp, user_id as key from events),

@@ -211,6 +211,11 @@ def main() -> int:
         "text_repetition",
         "text_winnow",
         "text_percentiles",
+        "text_percentiles_hist",
+        "text_salient_terms",
+        "events_cube",
+        "events_hll_users",
+        "curation_mix",
     ]
     queries = entry_mod.queries()
 

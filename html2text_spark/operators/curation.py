@@ -194,3 +194,53 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain mixing: downsample over-represented groups toward an equal
+    share so no single source dominates the training mix (the data-mixing
+    pass every large pretraining pipeline runs after dedup/quality).
+
+    Per-group keep rate = min(1, (total/n_groups) / group_count); a row
+    is kept when ``unit_hash(id) <= rate`` -- the same pure-hash decision
+    as ``hash_sample``, so the mix is reproducible across retries and
+    mirrorable in the SQL oracle (unit_hash + IEEE division, bit-equal
+    cross-engine).  Groups at or under their share keep everything.
+
+    Plan: one tiny per-group count aggregate, broadcast back onto the
+    corpus (a genuine dimension -- |sources|, never corpus-sized), one
+    codegen filter.  The corpus itself is never shuffled.  Returns
+    per-group audit rows (group, docs, kept, rate).
+    """
+    from .dedup import unit_hash
+
+    w_all = Window.partitionBy()
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("grp_docs"))
+        .withColumn("_total", F.sum("grp_docs").over(w_all))
+        .withColumn("_n_grps", F.count("*").over(w_all))
+        .select(
+            group_col,
+            "grp_docs",
+            F.least(
+                F.lit(1.0),
+                (F.col("_total").cast("double") / F.col("_n_grps"))
+                / F.col("grp_docs"),
+            ).alias("rate"),
+        )
+    )
+    kept = (
+        df.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .filter(unit_hash(F.col(id_col)) <= F.col("rate"))
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("grp_docs").alias("docs"),
+        F.count("*").alias("kept"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )

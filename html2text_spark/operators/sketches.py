@@ -60,3 +60,31 @@ def kmv_distinct(
             6,
         ).alias("kmv_estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate via Spark's built-in
+    Datasketches HllSketch aggregate (``hll_sketch_agg``, Spark 3.5+).
+
+    The industry-standard companion to ``kmv_distinct``: 2^lg_k register
+    bytes per group regardless of cardinality, partial sketches built
+    map-side and merged through the exchange (the mergeability KMV
+    demonstrates, here in the battle-tested binary form every warehouse
+    speaks).  lg_k=12 gives ~1.6% typical relative error.
+
+    The register layout is engine-internal, so the ESTIMATE cannot be
+    value-hashed against DuckDB -- callers wanting an exact-oracle
+    sketch use kmv_distinct; queries over this one assert the accuracy
+    CONTRACT (|est - exact| / exact within bound) instead, which IS
+    SQL-expressible.
+    """
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg({key_col}, {lg_k}))"
+        ).alias("hll_users")
+    )

@@ -248,3 +248,59 @@ def group_percentiles_exact(
         out.append((lo + (hi - lo) * frac).alias(f"p{round(p * 100)}"))
     out.append(F.col("n").cast("long").alias("docs"))
     return a.select(*out)
+
+
+def salient_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k salient words per group by tf-idf-style score -- vocabulary
+    characterization for corpus curation (what distinguishes a source /
+    language slice).
+
+    score = tf * (N / df): term frequency times a LINEAR inverse
+    document frequency.  Linear rather than log(N/df) on purpose: the
+    ordering per group is identical for any monotone idf, and the linear
+    form is integer-product / IEEE-division arithmetic that hashes
+    bit-equal against the SQL oracle (libm log differs in the last ulp
+    across engines -- the same reason priority sampling avoids pow()).
+
+    Plan: one explode, one (group, word) aggregate with a two-phase
+    count-distinct for df (uniform keys, map-side combined), a broadcast
+    of the |groups|-row doc-count dimension, then a rank window whose
+    input is vocabulary-sized (never corpus-sized) and rides
+    WindowGroupLimit.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    stats = words.groupBy("grp", "word").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    group_docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = stats.join(F.broadcast(group_docs), "grp").select(
+        "grp",
+        "word",
+        "tf",
+        "df",
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.round("score", 6))
+    )

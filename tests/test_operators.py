@@ -933,3 +933,121 @@ def test_group_percentiles_hist_single_row_group(spark):
     df = spark.createDataFrame([("g", 7)], "lang string, n_chars long")
     row = group_percentiles_exact(df, "n_chars", "lang").collect()[0]
     assert (row["p25"], row["p50"], row["p95"], row["docs"]) == (7.0, 7.0, 7.0, 1)
+
+
+def test_mix_sources_equalizes_shares(spark, docs):
+    """Over-represented sources are downsampled toward the equal share;
+    at-or-under-share sources keep everything; the decision is a pure
+    hash (identical across repartitionings)."""
+    from html2text_spark.operators.curation import mix_sources
+
+    # plant one dominant source: quadruple one source's rows
+    dom = docs.filter(F.col("source") == "web").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source"
+    )
+    skewed = docs.select("doc_id", "source").unionAll(dom)
+    if dom.count() == 0:  # source names are data-dependent; pick the max
+        top = (
+            docs.groupBy("source").count().orderBy(F.desc("count")).first()
+        )["source"]
+        dom = docs.filter(F.col("source") == top).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source"
+        )
+        skewed = docs.select("doc_id", "source").unionAll(dom)
+    out = {r["source"]: r for r in mix_sources(skewed).collect()}
+    counts = {
+        r["source"]: r["count"]
+        for r in skewed.groupBy("source").count().collect()
+    }
+    total, n = sum(counts.values()), len(counts)
+    share = total / n
+    for src, row in out.items():
+        assert row["docs"] == counts[src]
+        if counts[src] <= share:
+            assert row["kept"] == counts[src], f"{src} lost rows under share"
+            assert row["rate"] == 1.0
+        else:
+            assert row["kept"] < counts[src], f"{src} not downsampled"
+    # determinism across physical layout
+    again = {
+        r["source"]: r["kept"]
+        for r in mix_sources(skewed.repartition(13)).collect()
+    }
+    assert again == {s: r["kept"] for s, r in out.items()}
+
+
+def test_hll_distinct_accuracy(spark):
+    from html2text_spark.operators.sketches import hll_distinct
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    est = {
+        r["grp"]: r["hll_users"]
+        for r in hll_distinct(events, "user_id", "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for grp, e in exact.items():
+        assert abs(est[grp] - e) <= 0.05 * e, (grp, est[grp], e)
+
+
+def test_salient_terms_ranking_properties(spark, docs):
+    from html2text_spark.operators.textstats import salient_terms
+
+    out = salient_terms(docs, k=5).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rows in by_grp.items():
+        assert len(rows) <= 5
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # scores are non-increasing with rank
+        for a, b in zip(rows, rows[1:]):
+            assert a["score"] >= b["score"]
+        for r in rows:
+            assert r["tf"] >= r["df"] > 0
+
+
+def test_segment_rollup_stream_matches_batch(spark):
+    """Stream-static join family: the streamed (events |x| customer dim)
+    hourly rollup, driven to completeness, must equal the batch
+    join+aggregate row-for-row; the clock row matches no customer and
+    must never surface."""
+    from html2text_spark.streaming.enrich import segment_rollup_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    streamed = segment_rollup_complete(
+        spark, events, customer, query_name="t_segment_stream"
+    )
+    batch = (
+        events.join(
+            customer.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.min("value"), 8).alias("min_value"),
+            F.round(F.max("value"), 8).alias("max_value"),
+        )
+    )
+    key = lambda r: (str(r["hour"]), r["segment"])  # noqa: E731
+    srows = sorted(streamed.collect(), key=key)
+    brows = sorted(batch.collect(), key=key)
+    assert len(srows) == len(brows) > 0
+    for s, b in zip(srows, brows):
+        assert key(s) == key(b)
+        assert (s["events"], s["min_value"], s["max_value"]) == (
+            b["events"], b["min_value"], b["max_value"],
+        )

@@ -211,6 +211,7 @@ def test_topk_windows_use_window_group_limit(spark):
         "rel_customer_order_ranks",
         "events_kmv_users",
         "curation_ngrams",
+        "text_salient_terms",
     ):
         plan = _plan(e.queries()[q](spark, SF))
         assert "WindowGroupLimit" in plan, f"{q} lost rank-limit pushdown"
