@@ -1051,3 +1051,24 @@ def test_segment_rollup_stream_matches_batch(spark):
         assert (s["events"], s["min_value"], s["max_value"]) == (
             b["events"], b["min_value"], b["max_value"],
         )
+
+
+def test_percentiles_approx_within_rank_error(spark, docs):
+    """approx_percentile at accuracy=10000 must land within the GK rank
+    error (n/10000 < 1 rank for these groups => within one observed
+    value step of the exact discrete percentile)."""
+    import __spark_entry__ as e
+
+    approx = {
+        r["lang"]: (r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in e.q_text_percentiles_approx(spark, SF).collect()
+    }
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, got in approx.items():
+        xs = sorted(vals[lang])
+        for p, v in zip((0.25, 0.5, 0.75, 0.95), got):
+            lo = xs[max(0, int(p * (len(xs) - 1)) - 1)]
+            hi = xs[min(len(xs) - 1, int(p * (len(xs) - 1)) + 2)]
+            assert lo <= v <= hi, (lang, p, v, lo, hi)
