@@ -814,6 +814,33 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted per
+    active-day offset (operators/behavior.py) -- three uniform-key
+    shuffles, cohort dimension joined (not broadcast: it is
+    |users|-sized)."""
+    from html2text_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_tbl(spark, sf_dir, "events"))
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED view->click->purchase funnel: stage i+1 requires an event
+    at-or-after the user's stage-i arrival (operators/behavior.py);
+    exact integer counts, conversion = one IEEE division."""
+    from html2text_spark.operators.behavior import funnel_stages
+
+    return funnel_stages(_tbl(spark, sf_dir, "events"))
+
+
+def q_sim_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in int8-quantized integer space --
+    order-independent EXACT sums (float averaging is shuffle-order
+    dependent and would never hash); anchor artifact for IVF seeding /
+    drift monitoring."""
+    return S.quantized_centroids(_emb(spark, sf_dir))
+
+
 def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing: downsample over-represented sources toward an equal
     share (curation.mix_sources) -- pure-hash keep decision, |sources|-row
@@ -892,6 +919,9 @@ def queries() -> dict[str, _Q]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
+        "events_retention": q_events_retention,
+        "events_funnel": q_events_funnel,
+        "sim_centroids_q": q_sim_centroids_q,
         "events_kmv_users": q_events_kmv_users,
         "events_hll_users": q_events_hll_users,
         "curation_holdout": q_curation_holdout,
@@ -1374,6 +1404,53 @@ select event_type, user_id % 4 as user_bucket,
        round(max(value), 8) as max_value
 from events
 group by cube(event_type, user_id % 4)
+""",
+        "events_retention": """
+with d as (select distinct user_id, date_trunc('day', ts) as day from events),
+ f as (select user_id, min(day) as cohort_day from d group by 1)
+select f.cohort_day,
+       date_diff('day', f.cohort_day, d.day)::BIGINT as offset_days,
+       count(distinct d.user_id) as active_users
+from d join f on d.user_id = f.user_id
+group by 1, 2
+""",
+        "events_funnel": """
+with s1 as (select user_id, min(ts) as t from events
+            where event_type = 'view' group by 1),
+ s2 as (select e.user_id, min(e.ts) as t from events e
+        join s1 on e.user_id = s1.user_id
+        where e.event_type = 'click' and e.ts >= s1.t group by 1),
+ s3 as (select e.user_id, min(e.ts) as t from events e
+        join s2 on e.user_id = s2.user_id
+        where e.event_type = 'purchase' and e.ts >= s2.t group by 1),
+ u as (select 1::BIGINT as stage_idx, 'view' as stage,
+              count(distinct user_id) as users from s1
+       union all
+       select 2::BIGINT, 'click', count(distinct user_id) from s2
+       union all
+       select 3::BIGINT, 'purchase', count(distinct user_id) from s3)
+select stage_idx, stage, users,
+  case when first_value(users) over (
+          order by stage_idx
+          rows between unbounded preceding and unbounded following) > 0
+       then round(users::DOUBLE / first_value(users) over (
+          order by stage_idx
+          rows between unbounded preceding and unbounded following), 6)
+       end as conversion
+from u
+""",
+        "sim_centroids_q": """
+with e as (select label, embedding::DOUBLE[] as emb from embeddings),
+ sc as (select label, emb,
+        greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0
+          as scale from e),
+ q as (select label,
+       list_transform(emb, x -> round(x / scale)::BIGINT) as q from sc),
+ x as (select label as grp, unnest(q) as qv,
+       (generate_subscripts(q, 1) - 1)::INT as dim from q)
+select grp, dim, sum(qv)::BIGINT as sum_q, count(*) as n_vecs,
+       round(sum(qv)::DOUBLE / count(*), 6) as centroid_q
+from x group by 1, 2
 """,
         # the HLL registers are engine-internal; the oracle checks the
         # exact count and the in-query accuracy-contract boolean

@@ -216,6 +216,9 @@ def main() -> int:
         "events_cube",
         "events_hll_users",
         "curation_mix",
+        "events_retention",
+        "events_funnel",
+        "sim_centroids_q",
     ]
     queries = entry_mod.queries()
 

@@ -1,0 +1,122 @@
+"""User-behavior analytics over event tables: retention cohorts and
+ordered conversion funnels.
+
+Both are exact-arithmetic formulations (integer counts, IEEE divisions
+only at the final ratio) so the DuckDB oracle verifies them bit-for-bit,
+and both shuffle exclusively on the uniform user key -- the shapes scale
+to the 10^12-event design point unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day, counted
+    on each subsequent active day offset.
+
+    Plan: distinct (user, day) projection -> per-user min-day aggregate
+    (the cohort dimension is |users|-sized, so it is NOT broadcast -- the
+    join back is a shuffle equi-join on the uniform user key) -> count
+    distinct users per (cohort, day offset).  Three uniform-key shuffles,
+    no fanout: each (user, day) row joins exactly one cohort row.
+    """
+    days = events.select(
+        user_col, F.date_trunc("day", ts_col).alias("day")
+    ).distinct()
+    first = days.groupBy(user_col).agg(F.min("day").alias("cohort_day"))
+    joined = days.join(first, user_col)
+    return joined.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+    ).agg(F.countDistinct(user_col).alias("active_users"))
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED conversion funnel: a user reaches stage i+1 only via an
+    event of that type AT OR AFTER their stage-i arrival time (the strict
+    sequential funnel, not segment overlap -- a purchase before the first
+    view does not convert).
+
+    Computed as one earliest-arrival frame per stage: t_1 = min ts of
+    stage-1 events; t_{i+1} = min ts of stage-(i+1) events with
+    ts >= t_i.  Each refinement is one filtered scan + one shuffle
+    equi-join on the uniform user key + one per-user min -- |stages|
+    passes, no window state, no fanout, and NO driver action: the stage
+    frames union into one distributed aggregate, with the conversion
+    ratio vs stage 1 derived by a window over the |stages|-row result
+    (single IEEE division, oracle bit-exact).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_stages: need at least 2 stages")
+    from pyspark.sql.window import Window
+
+    arrivals = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    frames = [
+        arrivals.select(
+            F.lit(1).cast("long").alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            F.col(user_col),
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        arrivals = (
+            events.filter(F.col(type_col) == stage)
+            .join(arrivals.select(user_col, "t"), user_col)
+            .filter(F.col(ts_col) >= F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        frames.append(
+            arrivals.select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(user_col),
+            )
+        )
+    unioned = frames[0]
+    for f in frames[1:]:
+        unioned = unioned.unionAll(f)
+    counts = unioned.groupBy("stage_idx", "stage").agg(
+        F.countDistinct(user_col).alias("users")
+    )
+    # an EMPTY stage must still emit a users=0 row (the SQL-oracle
+    # UNION-of-scalar-aggregates form always does; without this the two
+    # diverge on any corpus where a funnel stage has no qualifying user)
+    skeleton = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)],
+        "stage_idx long, stage string",
+    )
+    counts = skeleton.join(counts, ["stage_idx", "stage"], "left").select(
+        "stage_idx", "stage", F.coalesce("users", F.lit(0)).alias("users")
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    entry = F.first("users").over(w)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.when(
+            entry > 0, F.round(F.col("users").cast("double") / entry, 6)
+        ).alias("conversion"),
+    )

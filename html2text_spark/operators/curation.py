@@ -66,12 +66,9 @@ def pack_sequences(
     """
     if shards < 1:
         raise ValueError(f"pack_sequences: shards={shards} < 1")
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % shards
-    )
+    from .dedup import md5_int32  # single copy of the md5-int contract
+
+    shard = md5_int32(F.col(id_col).cast("string")) % shards
     w = (
         Window.partitionBy(group_col, "shard")
         .orderBy(id_col)

@@ -384,3 +384,48 @@ def quantized_cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantized_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid computed ENTIRELY in integer space.
+
+    Float vector averaging is shuffle-order-dependent (double addition
+    does not associate), so a naive per-dimension mean is not
+    reproducible across runs, engines, or retries.  This operator
+    int8-quantizes each vector with the same symmetric scheme as
+    quantized_cosine_topk (scales are per-vector, quantized values are
+    exact integers), sums per (group, dimension) as int64 -- EXACT and
+    order-independent -- and divides once at the end (IEEE division,
+    bit-reproducible).  The result is the centroid of the quantized
+    vectors: the right anchor artifact for IVF cell seeding, drift
+    monitoring, or class prototypes, where reproducibility matters more
+    than the (bounded, ~1/254) quantization error.
+
+    Plan: posexplode (JVM generator) -> one uniform (group, dim)
+    aggregate, map-side combined.  int64 safety: |q| <= 127, so a group
+    would need > 7e16 vectors to overflow.
+    """
+    amax = F.aggregate(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x / scale).cast("long"),
+    )
+    exploded = emb.select(
+        F.col(group_col).alias("grp"), F.posexplode(quant).alias("dim", "qv")
+    )
+    return exploded.groupBy("grp", "dim").agg(
+        F.sum("qv").alias("sum_q"),
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("qv").cast("double") / F.count("*"), 6
+        ).alias("centroid_q"),
+    )

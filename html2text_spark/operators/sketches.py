@@ -84,7 +84,7 @@ def hll_distinct(
     SQL-expressible.
     """
     return df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.expr(
-            f"hll_sketch_estimate(hll_sketch_agg({key_col}, {lg_k}))"
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key_col), lg_k)
         ).alias("hll_users")
     )

@@ -61,7 +61,9 @@ def asof_join(
     left_cols = left.columns
     # the union/window encoding synthesizes these names; a left column
     # shadowing one would silently corrupt the running-last state
-    internal = {"_side", "_r_ts", f"{prefix}{ts_col}", f"{prefix}ts"}
+    # the attached timestamp is always aliased f"{prefix}ts" regardless
+    # of ts_col -- guard only names actually synthesized
+    internal = {"_side", "_r_ts", f"{prefix}ts"}
     for c in pay:
         internal.add(f"_r_{c}")
         internal.add(f"{prefix}{c}")

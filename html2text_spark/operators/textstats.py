@@ -214,6 +214,12 @@ def group_percentiles_exact(
     """
     from pyspark.sql.window import Window
 
+    names = [f"p{round(p * 100)}" for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"group_percentiles_exact: ps {tuple(ps)} produce duplicate "
+            f"output column names {names}; use ps that differ by >= 1%"
+        )
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
     w_ord = (
         Window.partitionBy(group_col)
@@ -245,7 +251,7 @@ def group_percentiles_exact(
         frac = idx - F.floor(idx)
         lo, hi = F.col(f"_lo{i}"), F.coalesce(F.col(f"_hi{i}"), F.col(f"_lo{i}"))
         # round() not int(): int(0.95*100) is 94 (binary-float truncation)
-        out.append((lo + (hi - lo) * frac).alias(f"p{round(p * 100)}"))
+        out.append((lo + (hi - lo) * frac).alias(names[i]))
     out.append(F.col("n").cast("long").alias("docs"))
     return a.select(*out)
 

@@ -1072,3 +1072,136 @@ def test_percentiles_approx_within_rank_error(spark, docs):
             lo = xs[max(0, int(p * (len(xs) - 1)) - 1)]
             hi = xs[min(len(xs) - 1, int(p * (len(xs) - 1)) + 2)]
             assert lo <= v <= hi, (lang, p, v, lo, hi)
+
+
+def test_funnel_ordered_semantics(spark):
+    """Stage order is enforced: a purchase BEFORE the first view never
+    converts; in-order users flow through; counts are non-increasing."""
+    from html2text_spark.operators.behavior import funnel_stages
+
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: purchase BEFORE view, click after view -> stops at click
+        (2, "2024-01-01 08:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "click"),
+        # u3: click only, never viewed -> not even stage 1
+        (3, "2024-01-01 10:00:00", "click"),
+        # u4: view only
+        (4, "2024-01-01 10:00:00", "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["stage"]: r for r in funnel_stages(events).collect()}
+    assert out["view"]["users"] == 3          # u1, u2, u4
+    assert out["click"]["users"] == 2         # u1, u2
+    assert out["purchase"]["users"] == 1      # u1 only (u2's was too early)
+    assert out["view"]["conversion"] == 1.0
+    assert out["purchase"]["conversion"] == round(1 / 3, 6)
+
+
+def test_retention_cohorts_offsets(spark):
+    from html2text_spark.operators.behavior import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 09:00:00"), (1, "2024-01-01 17:00:00"),  # same day
+        (1, "2024-01-03 09:00:00"),                              # offset 2
+        (2, "2024-01-02 09:00:00"), (2, "2024-01-03 09:00:00"),  # offset 0,1
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort_day"])[:10], r["offset_days"]): r["active_users"]
+        for r in retention_cohorts(events).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def test_quantized_centroids_exact(spark, emb):
+    """The integer centroid must equal the numpy computation over the
+    same quantization, independent of partitioning."""
+    import numpy as np
+
+    from html2text_spark.operators.similarity import quantized_centroids
+
+    out = quantized_centroids(emb).collect()
+    rows = emb.select("label", "embedding").collect()
+    sums, counts = {}, {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        scale = max(np.abs(v).max(), 1e-12) / 127.0
+        # numpy rounds half-to-even; Spark/DuckDB round half-away -- use
+        # the same half-away rule as the engines
+        q = np.floor(np.abs(v) / scale + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        key = r["label"]
+        sums[key] = sums.get(key, np.zeros(len(v), dtype=np.int64)) + q
+        counts[key] = counts.get(key, 0) + 1
+    for r in out:
+        assert r["sum_q"] == int(sums[r["grp"]][r["dim"]]), r
+        assert r["n_vecs"] == counts[r["grp"]]
+    # determinism across physical layout
+    again = {(r["grp"], r["dim"]): r["sum_q"]
+             for r in quantized_centroids(emb.repartition(11)).collect()}
+    assert again == {(r["grp"], r["dim"]): r["sum_q"] for r in out}
+
+
+def test_funnel_empty_stage_emits_zero_row(spark):
+    """A stage with zero qualifying users must still emit a users=0 row
+    (the SQL-oracle UNION form always does) with null conversion when
+    even stage 1 is empty."""
+    from html2text_spark.operators.behavior import funnel_stages
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        # no purchase anywhere
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["stage"]: r for r in funnel_stages(events).collect()}
+    assert set(out) == {"view", "click", "purchase"}
+    assert out["purchase"]["users"] == 0
+    assert out["purchase"]["conversion"] == 0.0
+    # stage 1 empty: all-zero funnel, conversion null (0/0 is undefined)
+    no_views = events.filter(F.col("event_type") != "view")
+    out2 = {r["stage"]: r for r in funnel_stages(no_views).collect()}
+    assert [out2[s]["users"] for s in ("view", "click", "purchase")] == [0, 0, 0]
+    assert all(r["conversion"] is None for r in out2.values())
+
+
+def test_group_percentiles_rejects_duplicate_names(spark, docs):
+    import pytest as _pytest
+
+    from html2text_spark.operators.textstats import group_percentiles_exact
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        group_percentiles_exact(docs, "n_chars", "lang", ps=(0.951, 0.954))
+
+
+def test_asof_join_custom_ts_col_prefixed_name_ok(spark):
+    """A left column named f'{prefix}{ts_col}' is NOT synthesized by the
+    operator (the attached ts is always f'{prefix}ts') and must be
+    accepted."""
+    from html2text_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "user_id long, event_time long, asof_event_time long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.0)], "user_id long, event_time long, value double"
+    )
+    out = asof_join(
+        left, right, ts_col="event_time", payload_cols=("value",)
+    ).collect()
+    assert out[0]["asof_value"] == 1.0 and out[0]["asof_event_time"] == 5
