@@ -27,6 +27,33 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """
     if path.startswith("iceberg:"):
         return spark.read.format("iceberg").load(path[len("iceberg:") :])
+    if path.endswith((".jsonl", ".json")):
+        return spark.read.schema(INPUT_SCHEMA).json(path)
+    return spark.read.parquet(path)
+
+
+def read_flat_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a FLAT (doc_id, text, ...) corpus from parquet, JSONL, or
+    headered CSV by extension -- the interchange formats crawled corpora
+    actually arrive in.  JSON/CSV scans still stream split-by-split
+    (Spark's text-based sources are splittable on line boundaries for
+    uncompressed/bgzip data), so the adapter chain
+    ``read_flat_documents -> adapt_flat_documents -> extract`` keeps the
+    same narrow shuffle-free plan as parquet input.  Schema is enforced,
+    never inferred: inference would scan the corpus twice at 100 TB.
+    """
+    schema = "doc_id string, text string, lang string, source string"
+    if path.endswith((".jsonl", ".json")):
+        return spark.read.schema(schema).json(path)
+    if path.endswith((".csv", ".tsv")):
+        sep = "\t" if path.endswith(".tsv") else ","
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("sep", sep)
+            .option("multiLine", "false")
+            .csv(path)
+        )
     return spark.read.parquet(path)
 
 

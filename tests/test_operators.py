@@ -1205,3 +1205,31 @@ def test_asof_join_custom_ts_col_prefixed_name_ok(spark):
         left, right, ts_col="event_time", payload_cols=("value",)
     ).collect()
     assert out[0]["asof_value"] == 1.0 and out[0]["asof_event_time"] == 5
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark):
+    """The unbounded-stream form of the dedup family:
+    dropDuplicatesWithinWatermark ages keys out of the state store
+    (bounded state, the 100 TB requirement plain dropDuplicates lacks).
+    On finite input every first sight is emitted exactly once."""
+    from html2text_spark.streaming.harness import run_finite_stream
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    def dedup_wm(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .select("user_id")
+        )
+
+    streamed = run_finite_stream(
+        spark, events, dedup_wm, "t_dedup_within_wm"
+    )
+    got = sorted(r["user_id"] for r in streamed.collect())
+    want = sorted(
+        r["user_id"] for r in events.select("user_id").distinct().collect()
+    )
+    assert got == want

@@ -322,3 +322,20 @@ def test_salt_occupancy_uniform(spark):
     counts = [r["count"] for r in occ]
     assert len(counts) == n, f"only {len(counts)}/{n} partitions used"
     assert max(counts) < 2 * (1600 // n), f"hot partition: {sorted(counts)}"
+
+
+def test_behavior_joins_no_forced_broadcast(spark):
+    """retention/funnel join |users|-sized frames: none may carry a
+    broadcast hint (hinted broadcasts survive threshold=-1; stats-driven
+    ones do not -- the sandbox's tiny tables legitimately broadcast
+    under AQE, but a hint would force it at corpus scale too)."""
+    import __spark_entry__ as e
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for q in ("events_retention", "events_funnel"):
+            plan = _plan(e.queries()[q](spark, SF))
+            assert "BroadcastExchange" not in plan, (q, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

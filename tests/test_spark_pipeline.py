@@ -364,3 +364,69 @@ def test_null_and_ragged_rows_never_fail_the_batch(spark):
         assert out[bad]["spans"] == []
     # null struct fields: kind '' is neither html nor media -> empty output
     assert out["null-fields"]["spans"] == []
+
+
+def test_flat_source_formats_round_trip(spark, tmp_path):
+    """JSONL and CSV flat corpora must extract byte-identically to the
+    parquet path (schema enforced, never inferred -- inference would
+    scan a 100 TB corpus twice)."""
+    from html2text_spark.pipeline import extract, text_of
+    from html2text_spark.sources import (
+        adapt_flat_documents,
+        read_flat_documents,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        .limit(50)
+    )
+
+    def md_of(flat):
+        ext = extract(adapt_flat_documents(flat))
+        return {
+            r["doc_id"]: r["markdown"] for r in text_of(ext).collect()
+        }
+
+    want = md_of(docs)
+
+    jdir = str(tmp_path / "docs_jsonl")
+    docs.write.json(jdir)
+    # Spark writes part files without extension; point at the directory
+    # but exercise the extension-based dispatch through a .jsonl symlink
+    import os as _os
+
+    jpath = str(tmp_path / "docs.jsonl")
+    _os.symlink(jdir, jpath)
+    got_j = md_of(read_flat_documents(spark, jpath))
+    assert got_j == want
+
+    cdir = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").csv(cdir)
+    cpath = str(tmp_path / "docs.csv")
+    _os.symlink(cdir, cpath)
+    got_c = md_of(read_flat_documents(spark, cpath))
+    assert got_c == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A lang-partitioned layout + lang predicate must prune at the
+    FILE level (PartitionFilters in the scan), not post-filter rows --
+    at 100 TB this is reading 1/5th of the corpus vs all of it."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0] and "= en" in pf[0], plan
+    # the pruned read returns exactly the en slice
+    assert df.count() == docs.filter(F.col("lang") == "en").count()
+    # and no row-level Filter on lang remains above the scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
