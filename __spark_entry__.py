@@ -814,6 +814,33 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing: extract the integer k from the JSON
+    props column (get_json_object -- JVM-side JSON path, no Python) and
+    aggregate exact integer stats per event type."""
+    events = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts, one column per event type.  The
+    value list is passed EXPLICITLY -- without it Spark runs an extra
+    distinct-discovery job over the corpus before it can even plan."""
+    events = _tbl(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen day, counted per
     active-day offset (operators/behavior.py) -- three uniform-key
@@ -919,6 +946,8 @@ def queries() -> dict[str, _Q]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
+        "events_props_json": q_events_props_json,
+        "events_pivot": q_events_pivot,
         "events_retention": q_events_retention,
         "events_funnel": q_events_funnel,
         "sim_centroids_q": q_sim_centroids_q,
@@ -1404,6 +1433,23 @@ select event_type, user_id % 4 as user_bucket,
        round(max(value), 8) as max_value
 from events
 group by cube(event_type, user_id % 4)
+""",
+        "events_props_json": """
+select event_type,
+       count(json_extract_string(props, '$.k')::BIGINT) as n_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT as sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT) as min_k,
+       max(json_extract_string(props, '$.k')::BIGINT) as max_k
+from events group by 1
+""",
+        "events_pivot": """
+select date_trunc('day', ts) as day,
+  sum(case when event_type = 'click'    then 1 end)::BIGINT as click,
+  sum(case when event_type = 'error'    then 1 end)::BIGINT as error,
+  sum(case when event_type = 'purchase' then 1 end)::BIGINT as purchase,
+  sum(case when event_type = 'signup'   then 1 end)::BIGINT as signup,
+  sum(case when event_type = 'view'     then 1 end)::BIGINT as view
+from events group by 1
 """,
         "events_retention": """
 with d as (select distinct user_id, date_trunc('day', ts) as day from events),

@@ -219,6 +219,8 @@ def main() -> int:
         "events_retention",
         "events_funnel",
         "sim_centroids_q",
+        "events_props_json",
+        "events_pivot",
     ]
     queries = entry_mod.queries()
 
