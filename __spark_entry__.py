@@ -641,6 +641,29 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(events, gap_minutes=30)
 
 
+def q_events_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN session_window --
+    the native operator beside the custom applyInPandasWithState
+    sessionizer.  Boundary semantics verified IDENTICAL to the custom
+    twin: an event exactly gap after its predecessor stays in the SAME
+    session (inclusive bound; planted-boundary test), so both share the
+    strict-> oracle formulation."""
+    events = _spread(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("events"),
+        )
+        .select("user_id", "session_start", "session_end", "events")
+    )
+
+
 _STREAM_QUERY_SEQ = [0]
 
 
@@ -957,6 +980,7 @@ def queries() -> dict[str, _Q]:
         "curation_mix": q_curation_mix,
         "text_salient_terms": q_text_salient_terms,
         "events_sessions": q_events_sessions,
+        "events_sessions_native": q_events_sessions_native,
         "events_sessions_stream": q_events_sessions_stream,
         "events_hourly_stream": q_events_hourly_stream,
         "events_dedup_stream": q_events_dedup_stream,
@@ -1345,6 +1369,20 @@ from h l join h r on l.bucket = r.bucket and l.vec_id < r.vec_id
 where round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) >= 0.9
 """,
         "events_sessions": """
+with b as (
+  select user_id, ts,
+    case when lag(ts) over (partition by user_id order by ts) is null
+          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
+         then 1 else 0 end as boundary
+  from events),
+ s as (select user_id, ts,
+       sum(boundary) over (partition by user_id order by ts
+                           rows unbounded preceding) as sidx from b)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+       count(*)::INT as events
+from s group by user_id, sidx
+""",
+        "events_sessions_native": """
 with b as (
   select user_id, ts,
     case when lag(ts) over (partition by user_id order by ts) is null

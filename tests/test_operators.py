@@ -1233,3 +1233,48 @@ def test_streaming_dedup_within_watermark_bounded_state(spark):
         r["user_id"] for r in events.select("user_id").distinct().collect()
     )
     assert got == want
+
+
+def test_session_window_native_vs_custom_boundary(spark):
+    """An event EXACTLY gap after its predecessor stays in the SAME
+    session in BOTH the custom sessionizer and Spark's native
+    session_window (inclusive bound) -- so both share the strict->
+    boundary oracle.  This test pins the native operator's boundary
+    semantics; if a Spark upgrade flips it to half-open, the shared
+    oracle would silently diverge and this fails first."""
+    import __spark_entry__ as e
+    from html2text_spark.streaming.sessions import sessionize_batch
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view", 1.0),
+        (1, "2024-01-01 10:30:00", "view", 1.0),   # exactly the 30min gap
+        (1, "2024-01-01 10:40:00", "view", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    custom = sessionize_batch(events, gap_minutes=30).collect()
+    assert len(custom) == 1 and custom[0]["events"] == 3
+    native = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("events"))
+        .collect()
+    )
+    assert sorted(r["events"] for r in native) == [3]
+    # one second past the gap DOES split in both
+    late = events.withColumn(
+        "ts",
+        F.when(
+            F.col("ts") == "2024-01-01 10:30:00",
+            F.col("ts") + F.expr("interval 1 second"),
+        ).otherwise(F.col("ts")),
+    )
+    n2 = (
+        late.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("events"))
+        .collect()
+    )
+    assert sorted(r["events"] for r in n2) == [1, 2]
