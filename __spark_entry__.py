@@ -942,6 +942,82 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically PLANTED PII markers (the corpus
+    itself is clean word soup): email on doc_id%7, phone on doc_id%11,
+    IPv4 on doc_id%13 -- the identical suffix construction appears in
+    the oracle SQL, so the scrub is verified on known-positive rows."""
+    d = F.col("doc_id")
+    sfx = [
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" contact doc"), d.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    ]
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), *sfx).alias("text")
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / phone markers) over documents
+    with planted markers: per-doc counts plus the md5 of the scrubbed
+    text, so the redacted OUTPUT is value-verified, not just counted.
+    Pure codegen projection -- zero shuffle, zero Python."""
+    return T.pii_scrub(_docs_with_pii(spark, sf_dir))
+
+
+def q_text_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style combined quality-filter decision per document:
+    kept iff all rules pass, failed rules reported as ordered reason
+    codes (the decision stage downstream of text_quality /
+    text_repetition signals)."""
+    return T.filter_verdicts(_docs(spark, sf_dir))
+
+
+def q_curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) frequency cap: at most 5 docs per group chosen
+    by deterministic md5 order -- the per-domain contribution bound of
+    web-corpus recipes.  Rides WindowGroupLimit (plan-gated) so the
+    shuffle never carries a whole crawl-heavy domain."""
+    return C.domain_cap(_docs(spark, sf_dir), k=5)
+
+
+def q_events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stream-stream interval join (view -> click attribution
+    within 2 h, watermark-bounded state on both sides) -- the FIFTH
+    streaming family.  Inner-join rows emit on match, so the finite run
+    drains completely and equals the batch interval join exactly."""
+    from html2text_spark.streaming.joins import attribution_join_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return attribution_join_complete(
+        spark,
+        events,
+        window_minutes=120,
+        query_name=f"attribution_join_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
 def queries() -> dict[str, _Q]:
     return {
         "extract_metrics": q_extract_metrics,
@@ -992,6 +1068,10 @@ def queries() -> dict[str, _Q]:
         "curation_decontaminate": q_curation_decontaminate,
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_filter_verdicts": q_text_filter_verdicts,
+        "curation_domain_cap": q_curation_domain_cap,
+        "events_attribution_stream": q_events_attribution_stream,
         "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
         "text_percentiles_approx": q_text_percentiles_approx,
@@ -1131,6 +1211,77 @@ select w.doc_id,
                 then ((s.u::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT
                 else s.u::BIGINT end, 0) as simhash
 from w left join s using (doc_id)
+"""
+
+
+def _pii_sql() -> str:
+    """Mirror of q_text_pii_scrub: identical planted suffixes, identical
+    pattern literals (imported from T.PII_PATTERNS -- single source of
+    truth), counts on the ORIGINAL text, chained global replaces in the
+    same order."""
+    src = """
+  select doc_id,
+    text
+    || case when doc_id % 7 = 0
+            then ' contact doc' || doc_id::VARCHAR || '@example.com'
+            else '' end
+    || case when doc_id % 11 = 0
+            then ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            else '' end
+    || case when doc_id % 13 = 0
+            then ' host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                 || (doc_id % 100)::VARCHAR
+            else '' end as text
+  from documents"""
+    counts = ",\n  ".join(
+        "len(regexp_extract_all(text, '" + pat + "'))::INT as n_" + name
+        for name, pat, _ in T.PII_PATTERNS
+    )
+    scrubbed = "text"
+    for _, pat, repl in T.PII_PATTERNS:
+        scrubbed = (
+            "regexp_replace(" + scrubbed + ", '" + pat + "', '" + repl + "', 'g')"
+        )
+    return (
+        "with src as (" + src + ")\nselect doc_id,\n  " + counts + ",\n"
+        "  length(" + scrubbed + ")::INT as scrubbed_len,\n"
+        "  md5(" + scrubbed + ") as scrubbed_md5\nfrom src"
+    )
+
+
+def _filter_verdicts_sql() -> str:
+    """Mirror of q_text_filter_verdicts: thresholds come from
+    T.FILTER_RULES (single source of truth); ratios compared RAW with
+    the identical IEEE operation order, rounded only for display."""
+    r = T.FILTER_RULES
+    return f"""
+with t as (
+  select doc_id,
+    len(string_split_regex(trim(text), '\\s+'))::DOUBLE as n_words,
+    len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}'))::DOUBLE as n_stop,
+    len(list_distinct(string_split_regex(trim(text), '\\s+')))::DOUBLE as n_distinct
+  from documents),
+ r as (
+  select doc_id, n_words,
+    case when n_words > 0 then n_stop / n_words else 0.0 end as stop_ratio,
+    case when n_words > 0 then 1.0 - n_distinct / n_words else 0.0 end as dup_ratio
+  from t),
+ v as (
+  select doc_id, n_words, stop_ratio, dup_ratio,
+    -- array_to_string of an EMPTY list is NULL in DuckDB (string_agg
+    -- semantics); Spark's concat_ws returns '' -- coalesce to match
+    coalesce(array_to_string(list_filter([
+      case when n_words < {r["min_words"]} then 'too_short' end,
+      case when n_words > {r["max_words"]} then 'too_long' end,
+      case when stop_ratio < {r["min_stopword_ratio"]} then 'low_stopword' end,
+      case when dup_ratio > {r["max_dup_word_ratio"]} then 'high_repetition' end
+    ], x -> x is not null), ','), '') as reasons
+  from r)
+select doc_id, n_words::INT as n_words,
+  round(stop_ratio, 8) as stopword_ratio,
+  round(dup_ratio, 8) as dup_word_ratio,
+  reasons = '' as kept, reasons
+from v
 """
 
 
@@ -1707,6 +1858,26 @@ with base as (select doc_id, text from documents),
 select g.doc_id, count(*) as shared_grams
 from g join eg using (gram)
 group by g.doc_id
+""",
+        "text_pii_scrub": _pii_sql(),
+        "text_filter_verdicts": _filter_verdicts_sql(),
+        "curation_domain_cap": """
+select source, lang, doc_id, rank::INT as rank from (
+  select source, lang, doc_id,
+    row_number() over (partition by source, lang
+                       order by md5(doc_id::VARCHAR) asc, doc_id asc) as rank
+  from documents)
+where rank <= 5
+""",
+        "events_attribution_stream": """
+select v.user_id, v.event_id as view_id, c.event_id as click_id,
+       v.ts as view_ts, c.ts as click_ts,
+       epoch_us(c.ts) - epoch_us(v.ts) as lag_us
+from events v join events c
+  on v.user_id = c.user_id
+ and c.ts >= v.ts
+ and c.ts < v.ts + interval 2 hours
+where v.event_type = 'view' and c.event_type = 'click'
 """,
         "text_winnow": """
 with w as (select doc_id, regexp_split_to_array(trim(text), '\\s+') as words from documents),

@@ -221,6 +221,9 @@ def main() -> int:
         "sim_centroids_q",
         "events_props_json",
         "events_pivot",
+        "text_pii_scrub",
+        "text_filter_verdicts",
+        "curation_domain_cap",
     ]
     queries = entry_mod.queries()
 

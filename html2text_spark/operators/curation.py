@@ -241,3 +241,35 @@ def mix_sources(
         F.count("*").alias("kept"),
         F.round(F.max("rate"), 6).alias("rate"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int = 5,
+    group_cols: tuple = ("source", "lang"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency capping: keep at most ``k`` documents per group.
+
+    The per-domain cap every web-corpus recipe applies (C4, RefinedWeb:
+    bound any single host's contribution so one crawl-heavy domain
+    can't dominate training).  Selection is DETERMINISTIC -- ordered by
+    md5 of the id (a reproducible uniform shuffle, same rationale as
+    hash_sample), ties broken by the id itself -- so retries/resumes
+    keep the identical cap set.
+
+    Scale shape: one row_number window per group riding Spark's
+    WindowGroupLimit pushdown -- each map task pre-selects its local
+    top-k BEFORE the exchange, so the shuffle carries at most
+    k * n_partitions rows per group, never the whole group (a
+    crawl-heavy domain is corpus-sized at the design point).
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, id_col, "rank")
+    )

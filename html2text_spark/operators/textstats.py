@@ -310,3 +310,94 @@ def salient_terms(
         .filter(F.col("rank") <= k)
         .withColumn("score", F.round("score", 6))
     )
+
+
+#: PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+#: backrefs, no lookaround) so the Spark expressions and the DuckDB
+#: oracle compile the SAME pattern text.  Order matters: emails are
+#: scrubbed before IPs/phones so their digit runs can't be re-matched.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone markers and count them per doc.
+
+    A standard training-data compliance pass: counts come from
+    regexp_count on the ORIGINAL text, redaction applies the patterns
+    in PII_PATTERNS order via chained regexp_replace (global in both
+    engines).  Pure codegen projection -- zero shuffle, zero Python --
+    and every expression mirrors 1:1 into the SQL oracle, so the
+    scrubbed text itself is value-verified (md5), not just the counts.
+
+    Returns (doc_id, n_email, n_ip, n_phone, scrubbed_len,
+    scrubbed_md5).
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        "doc_id",
+        *counts,
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+#: filter-rule thresholds (Gopher-style bounds, tuned to the synthetic
+#: corpus so every rule actually fires on some documents)
+FILTER_RULES = {
+    "min_words": 25,
+    "max_words": 90,
+    "min_stopword_ratio": 0.02,
+    "max_dup_word_ratio": 0.65,
+}
+
+
+def filter_verdicts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Combined quality-filter verdict per document with reason codes.
+
+    The decision stage of a Gopher/C4-style cleaning pipeline: each
+    document is kept iff it passes ALL rules; failures are reported as
+    a comma-joined reason string in FIXED rule order so the output is
+    deterministic and hashable.  Thresholds compare the RAW IEEE ratios
+    (identical operation order in Spark and the oracle); the ratios are
+    rounded only for display.  Pure projection: zero shuffle, zero
+    Python, survives any scale.
+
+    Returns (doc_id, n_words, stopword_ratio, dup_word_ratio, kept,
+    reasons).
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("double")
+    n_stop = _marker_hits(text_col, STOPWORDS).cast("double")
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    dup_ratio = F.when(
+        n_words > 0, F.lit(1.0) - n_distinct / n_words
+    ).otherwise(F.lit(0.0))
+    r = FILTER_RULES
+    checks = [
+        F.when(n_words < r["min_words"], F.lit("too_short")),
+        F.when(n_words > r["max_words"], F.lit("too_long")),
+        F.when(stop_ratio < r["min_stopword_ratio"], F.lit("low_stopword")),
+        F.when(dup_ratio > r["max_dup_word_ratio"], F.lit("high_repetition")),
+    ]
+    reasons = F.concat_ws(",", F.array_compact(F.array(*checks)))
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(stop_ratio, 8).alias("stopword_ratio"),
+        F.round(dup_ratio, 8).alias("dup_word_ratio"),
+        (reasons == "").alias("kept"),
+        reasons.alias("reasons"),
+    )

@@ -52,3 +52,42 @@ def run_finite_stream(
         # the memory sink holds the rows; the staged input is disposable
         shutil.rmtree(work_dir, ignore_errors=True)
     return spark.table(query_name)
+
+
+def run_finite_stream2(
+    spark,
+    staged_a: DataFrame,
+    staged_b: DataFrame,
+    stream_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    query_name: str,
+    work_dir: Optional[str] = None,
+) -> DataFrame:
+    """Two-input variant for stream-stream operators (joins): each side
+    is staged as ONE parquet file so the first micro-batch admits BOTH
+    sides' rows atomically -- no row can be declared late by a watermark
+    that a prior batch already advanced (same invariant as the
+    single-input harness, applied per side)."""
+    cleanup = work_dir is None
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="h2t_stream2_")
+    streams = []
+    for name, staged in (("a", staged_a), ("b", staged_b)):
+        in_dir = os.path.join(work_dir, name)
+        staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        streams.append(
+            spark.readStream.schema(
+                spark.read.parquet(in_dir).schema
+            ).parquet(in_dir)
+        )
+    q = (
+        stream_fn(*streams)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if cleanup:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return spark.table(query_name)

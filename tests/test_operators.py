@@ -1278,3 +1278,111 @@ def test_session_window_native_vs_custom_boundary(spark):
         .collect()
     )
     assert sorted(r["events"] for r in n2) == [1, 2]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Planted PII of each class is counted and redacted; clean text
+    passes through untouched (md5 of scrubbed == md5 of expected)."""
+    import hashlib
+
+    from html2text_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "reach me at jane.doe@example.org or bob@site.io today"),
+        (2, "server 192.168.1.254 and backup 10.0.0.7 are up"),
+        (3, "call 555-0199 or 555-1234 now"),
+        (4, "perfectly clean text with no identifiers"),
+        (5, "mixed a@b.co at 1.2.3.4 call 555-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 2, 0)
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 2)
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (1, 1, 1)
+    expected = {
+        1: "reach me at <EMAIL> or <EMAIL> today",
+        2: "server <IP> and backup <IP> are up",
+        3: "call <PHONE> or <PHONE> now",
+        4: rows[3][1],
+        5: "mixed <EMAIL> at <IP> call <PHONE>",
+    }
+    for i, exp in expected.items():
+        assert got[i]["scrubbed_len"] == len(exp)
+        assert got[i]["scrubbed_md5"] == hashlib.md5(exp.encode()).hexdigest()
+
+
+def test_filter_verdicts_each_rule_fires(spark):
+    """Each filter rule produces its reason code; a passing doc is kept
+    with an empty reason string; multiple failures join in fixed order."""
+    from html2text_spark.operators.textstats import filter_verdicts
+
+    ok = "the quick brown fox jumps over a lazy dog near the old river " \
+         "bank while birds sing in morning light and wind moves calmly on"
+    rows = [
+        (1, ok),                              # 25 words, has stopwords
+        (2, "tiny doc"),                      # too_short + low_stopword
+        (3, "the a of to " + " ".join(f"w{i}" for i in range(95))),  # too_long
+        (4, "the the the the the the the the the the the the "
+            "the the the the the the the the the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in filter_verdicts(df).collect()}
+    assert got[1]["kept"] and got[1]["reasons"] == ""
+    assert not got[2]["kept"]
+    assert got[2]["reasons"] == "too_short,low_stopword"
+    assert not got[3]["kept"] and got[3]["reasons"] == "too_long"
+    # doc 4: 25 words, all "the" -> dup ratio 0.96 -> high_repetition
+    assert not got[4]["kept"] and got[4]["reasons"] == "high_repetition"
+
+
+def test_domain_cap_bounds_and_determinism(spark, docs):
+    """At most k rows per (source, lang); rank is 1..k; the selected set
+    is a pure function of the ids (identical across repartitioning)."""
+    from html2text_spark.operators.curation import domain_cap
+
+    capped = domain_cap(docs, k=3).collect()
+    per_group = {}
+    for r in capped:
+        per_group.setdefault((r["source"], r["lang"]), []).append(r["rank"])
+    assert per_group, "cap produced no groups"
+    for key, ranks in per_group.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
+        assert len(ranks) <= 3, key
+    again = {
+        (r["source"], r["lang"], r["doc_id"])
+        for r in domain_cap(docs.repartition(13), k=3).collect()
+    }
+    assert again == {(r["source"], r["lang"], r["doc_id"]) for r in capped}
+
+
+def test_attribution_stream_matches_batch(spark):
+    """Stream-stream interval join family: the streamed view->click
+    attribution pairs equal the batch interval join exactly (inner join
+    emits on match; no clock event involved)."""
+    from html2text_spark.streaming.joins import attribution_join_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    streamed = attribution_join_complete(
+        spark, events, window_minutes=120, query_name="t_attr_stream"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+        "user_id",
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("user_id").alias("cu"),
+    )
+    batch = v.join(
+        c,
+        (v["user_id"] == c["cu"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] < v["view_ts"] + F.expr("INTERVAL 120 MINUTES")),
+    ).select("view_id", "click_id")
+    got = {(r["view_id"], r["click_id"]) for r in streamed.collect()}
+    exp = {(r["view_id"], r["click_id"]) for r in batch.collect()}
+    assert got == exp and len(got) > 0
