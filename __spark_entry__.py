@@ -20,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from html2text_spark.operators import cdc as CDC
 from html2text_spark.operators import curation as C
 from html2text_spark.operators import dedup as D
+from html2text_spark.operators import skew as SK
 from html2text_spark.operators import relational as R
 from html2text_spark.operators import similarity as S
 from html2text_spark.operators import textstats as T
@@ -1018,6 +1020,69 @@ def q_events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the events change log collapsed to each user's
+    latest row (last-writer-wins, ties resolved by the unique event_id).
+    One shuffle; WindowGroupLimit caps what a hot user ships to the
+    exchange (plan-gated)."""
+    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    return CDC.latest_state(events).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.round("value", 8).alias("value"),
+    )
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: every change widened into a validity interval
+    (valid_from, valid_to = next change, open interval = current) -- the
+    standard temporal-table materialization, one lead() window per user."""
+    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    return CDC.scd2_history(events).select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current", "event_type"
+    )
+
+
+def q_rel_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders left dangling after a planted
+    customer purge (every 10th custkey removed), summarized per order
+    priority with exact integer-cents money at stake.  LEFT ANTI join on
+    the uniform fact key."""
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 0)
+    return R.referential_orphans(
+        orders, cust, "o_custkey", "c_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_events_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (hot-key defense for aggs, which
+    AQE's skew handling does not cover): per-user totals computed via
+    (user, salt-of-event-id) partials then merged -- bit-identical to
+    the plain groupBy the oracle runs, because every aggregate is
+    algebraic and money is exact integer cents."""
+    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    return SK.two_phase_totals(events, buckets=16)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative by QUALITY (keep-best, the
+    FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
+    components -> join per-doc quality -> argmax per cluster (quality
+    desc, doc_id asc).  Oracle mirrors with the recursive-CTE closure
+    plus the same quality formula over the planted near-dup corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
+    )
+    corpus = docs.unionAll(near)
+    pairs = D.minhash_lsh_candidates(corpus, num_hashes=8, bands=4, k=3)
+    return D.cluster_representatives(pairs, T.quality_score(corpus))
+
+
 def queries() -> dict[str, _Q]:
     return {
         "extract_metrics": q_extract_metrics,
@@ -1028,6 +1093,7 @@ def queries() -> dict[str, _Q]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
@@ -1047,6 +1113,9 @@ def queries() -> dict[str, _Q]:
         "events_cube": q_events_cube,
         "events_props_json": q_events_props_json,
         "events_pivot": q_events_pivot,
+        "events_latest_state": q_events_latest_state,
+        "events_scd2": q_events_scd2,
+        "events_skew_agg": q_events_skew_agg,
         "events_retention": q_events_retention,
         "events_funnel": q_events_funnel,
         "sim_centroids_q": q_sim_centroids_q,
@@ -1081,6 +1150,7 @@ def queries() -> dict[str, _Q]:
         "rel_late_priority": q_rel_late_priority,
         "rel_customer_order_ranks": q_rel_customer_order_ranks,
         "rel_supplier_balance": q_rel_supplier_balance,
+        "rel_orphans": q_rel_orphans,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -1214,6 +1284,33 @@ from w left join s using (doc_id)
 """
 
 
+def _quality_sql(src: str = "documents") -> str:
+    """Mirror of textstats.quality_score over table/CTE ``src`` --
+    parameterized so the keep-best oracle can apply the identical
+    formula to the planted near-dup union corpus."""
+    return f"""
+with t as (
+  select doc_id,
+    length(text)::DOUBLE as n_chars,
+    len(string_split_regex(trim(text), '\\s+'))::DOUBLE as n_words,
+    len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE as n_punct,
+    len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}'))::DOUBLE as n_stop
+  from {src}),
+ r as (
+  select doc_id, n_chars, n_words,
+    case when n_chars > 0 then n_punct / n_chars else 0.0 end as punct_ratio,
+    case when n_words > 0 then n_stop / n_words else 0.0 end as stop_ratio
+  from t)
+select doc_id, n_chars::BIGINT as n_chars, n_words::BIGINT as n_words,
+  round(punct_ratio, 8) as punct_ratio,
+  round(stop_ratio, 8) as stopword_ratio,
+  round(0.4 * least(n_words / 100.0, 1.0)
+      + least(0.3, 0.3 * stop_ratio * 5.0)
+      + 0.3 * greatest(0.0, 1.0 - least(1.0, punct_ratio * 10.0)), 8) as quality
+from r
+"""
+
+
 def _pii_sql() -> str:
     """Mirror of q_text_pii_scrub: identical planted suffixes, identical
     pattern literals (imported from T.PII_PATTERNS -- single source of
@@ -1328,27 +1425,7 @@ docs as (select doc_id, text from documents
         for i in range(4)
     )
 
-    quality = f"""
-with t as (
-  select doc_id,
-    length(text)::DOUBLE as n_chars,
-    len(string_split_regex(trim(text), '\\s+'))::DOUBLE as n_words,
-    len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE as n_punct,
-    len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}'))::DOUBLE as n_stop
-  from documents),
- r as (
-  select doc_id, n_chars, n_words,
-    case when n_chars > 0 then n_punct / n_chars else 0.0 end as punct_ratio,
-    case when n_words > 0 then n_stop / n_words else 0.0 end as stop_ratio
-  from t)
-select doc_id, n_chars::BIGINT as n_chars, n_words::BIGINT as n_words,
-  round(punct_ratio, 8) as punct_ratio,
-  round(stop_ratio, 8) as stopword_ratio,
-  round(0.4 * least(n_words / 100.0, 1.0)
-      + least(0.3, 0.3 * stop_ratio * 5.0)
-      + 0.3 * greatest(0.0, 1.0 - least(1.0, punct_ratio * 10.0)), 8) as quality
-from r
-"""
+    quality = _quality_sql()
 
     return {
         "extract_metrics": """
@@ -1434,6 +1511,67 @@ select doc_id, cluster_id,
        count(*) over (partition by cluster_id) as cluster_size,
        doc_id = cluster_id as is_canonical
 from comp
+""",
+        "dedup_keep_best": f"""
+with recursive {union_near},
+{_minhash_sig_sql('docs').strip().lstrip()}
+, banded as (
+  select doc_id, unnest([{bands_sql}], recursive := true) from sig),
+ cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from banded l join banded r
+    on l.band_idx = r.band_idx and l.band_hash = r.band_hash
+   and l.doc_id < r.doc_id),
+ edges as (select doc_a as src, doc_b as dst from cand
+           union
+           select doc_b, doc_a from cand),
+ reach(node, lab) as (
+  select src, src from edges
+  union
+  select e.dst, r.lab from reach r join edges e on e.src = r.node),
+ comp as (select node as doc_id, min(lab) as cluster_id from reach group by node),
+ qual as (select doc_id, quality from ({_quality_sql('docs')})),
+ m as (select c.doc_id, c.cluster_id, q.quality
+       from comp c join qual q using (doc_id)),
+ sized as (
+  select cluster_id, doc_id, quality,
+    count(*) over (partition by cluster_id) as cluster_size,
+    row_number() over (partition by cluster_id
+                       order by quality desc, doc_id asc) as rn
+  from m)
+select cluster_id, doc_id as keep_doc_id, quality, cluster_size
+from sized where rn = 1
+""",
+        "events_latest_state": """
+select user_id, event_id, ts, event_type, round(value, 8) as value from (
+  select user_id, event_id, ts, event_type, value,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events) where rn = 1
+""",
+        "events_scd2": """
+select user_id, event_id,
+       ts as valid_from,
+       lead(ts) over w as valid_to,
+       lead(ts) over w is null as is_current,
+       event_type
+from events
+window w as (partition by user_id order by ts asc, event_id asc)
+""",
+        "events_skew_agg": """
+select user_id, count(*)::BIGINT as n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT as value_cents,
+       min(ts) as first_ts, max(ts) as last_ts
+from events group by user_id
+""",
+        "rel_orphans": """
+select o_orderpriority, count(*)::BIGINT as orphan_rows,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT as lost_cents
+from orders o
+where not exists (select 1 from customer c
+                  where c.c_custkey % 10 != 0
+                    and c.c_custkey = o.o_custkey)
+group by o_orderpriority
 """,
         "dedup_ngram_jaccard": """
 with docs as (select doc_id, source, text from documents

@@ -224,6 +224,9 @@ def main() -> int:
         "text_pii_scrub",
         "text_filter_verdicts",
         "curation_domain_cap",
+        "events_latest_state",
+        "events_skew_agg",
+        "rel_orphans",
     ]
     queries = entry_mod.queries()
 

@@ -308,6 +308,43 @@ def resolve_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick each near-dup cluster's representative by SCORE, not min id.
+
+    Real curation keeps the best-quality member of a duplicate cluster
+    (FineWeb/RefinedWeb keep-longest / keep-highest-score), not the
+    smallest id: resolve components, join the per-doc score (one
+    shuffle on the uniform id -- the membership table is pair-sized,
+    orders of magnitude smaller than the corpus), then argmax per
+    cluster via row_number (score desc, id asc tie-break, so retries
+    pick the identical representative).  cluster_size rides the same
+    window partitioning, one exchange total after the join.
+    """
+    comp = connected_components(pairs)
+    joined = comp.join(scores.select(id_col, score_col), on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_doc_id"),
+            score_col,
+            "cluster_size",
+        )
+    )
+
+
 def canonical_filter(
     corpus: DataFrame, pairs: DataFrame, doc_id_col: str = "doc_id"
 ) -> DataFrame:

@@ -251,3 +251,32 @@ def customer_order_ranks(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def referential_orphans(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    group_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Referential-integrity audit: fact rows whose dimension key is
+    missing, summarized per group with the money at stake.
+
+    The data-quality gate every warehouse load runs before publishing
+    (dangling orders after a customer purge, events for deleted users).
+    LEFT ANTI join on the uniform fact key -- the fact table is scanned
+    once and never widened; the dim side ships only its key column, and
+    Catalyst/AQE broadcasts it when stats allow (no forced hint: a dim
+    with 10^9 keys at the design point must be allowed to shuffle).
+    Money aggregates as exact integer cents through the 128-bit
+    accumulator.
+    """
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti"
+    )
+    return orphans.groupBy(group_col).agg(
+        F.count("*").alias("orphan_rows"),
+        _sum_wide(_cents(amount_col)).alias("lost_cents"),
+    )

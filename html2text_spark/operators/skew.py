@@ -1,0 +1,67 @@
+"""Explicit two-phase (salted) aggregation for pathologically hot keys.
+
+Spark's hash aggregate already computes map-side partials, which is
+enough for algebraic aggregates over merely-popular keys.  The failure
+mode this operator exists for is different: a reduce-side aggregation
+buffer that is NOT constant-size per key (exact distinct sets, large
+sketches, collect-style payloads) or a key so hot that even the final
+merge of its partials should be spread over many tasks.  AQE's skew
+handling splits skewed JOIN partitions, not aggregation groups -- the
+salt is still the only lever for aggs.
+
+Phase 1 groups by (key, salt) where salt is derived from a row-unique
+column, splitting one hot key's rows across ``buckets`` reduce tasks;
+phase 2 merges the per-salt partials, a ``buckets``-rows-per-key
+aggregation that is uniform by construction.  Total: two shuffles, the
+second over a frame ~buckets/|rows| the size of the first.  Results are
+bit-identical to the single-phase form because every aggregate used is
+algebraic (count/sum/min/max) and the money sums run through the exact
+integer-cents accumulator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int32
+from .relational import _sum_wide
+
+
+def two_phase_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    buckets: int = 16,
+) -> DataFrame:
+    """Per-key totals via salted partial aggregation.
+
+    The salt is md5 of the row-unique sequence id (NOT of the key --
+    hashing the key would put the whole hot key in one bucket again),
+    so a key's rows spread uniformly across ``buckets`` partials
+    regardless of how hot it is.  Money is summed as exact integer
+    cents (round(value*100)) through the 128-bit accumulator; min/max
+    compose trivially.  Output matches the plain groupBy bit-for-bit.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    partial = events.groupBy(
+        key_col,
+        F.pmod(
+            md5_int32(F.col(seq_col).cast("string")), F.lit(buckets)
+        ).alias("_salt"),
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("_cents"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        _sum_wide(F.col("_cents")).alias("value_cents"),
+        F.min("_first").alias("first_ts"),
+        F.max("_last").alias("last_ts"),
+    )

@@ -1386,3 +1386,107 @@ def test_attribution_stream_matches_batch(spark):
     got = {(r["view_id"], r["click_id"]) for r in streamed.collect()}
     exp = {(r["view_id"], r["click_id"]) for r in batch.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_latest_state_picks_newest_and_breaks_ties(spark):
+    """Newest ts wins; equal timestamps resolve by the unique sequence
+    id, so the compaction is deterministic under retries."""
+    from html2text_spark.operators.cdc import latest_state
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a"),
+        (2, "2024-01-01 11:00:00", 7, "b"),   # newest for user 7
+        (3, "2024-01-01 09:00:00", 7, "c"),
+        (4, "2024-01-01 12:00:00", 8, "d"),
+        (5, "2024-01-01 12:00:00", 8, "e"),   # tie: higher event_id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in latest_state(df).collect()}
+    assert got[7]["event_id"] == 2 and got[7]["event_type"] == "b"
+    assert got[8]["event_id"] == 5 and got[8]["event_type"] == "e"
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    """Each key's intervals chain (valid_to == next valid_from) and
+    exactly one open (is_current) interval exists per key."""
+    from html2text_spark.operators.cdc import scd2_history
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    hist = scd2_history(events).select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+    )
+    rows = hist.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert per_user
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+        assert sum(r["is_current"] for r in rs) == 1, uid
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None, uid
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+
+
+def test_two_phase_totals_matches_plain_groupby(spark):
+    """The salted two-phase aggregation is bit-identical to the plain
+    single-phase groupBy (algebraic aggregates + exact integer cents)."""
+    from html2text_spark.operators.skew import two_phase_totals
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r["user_id"]: r for r in two_phase_totals(events, buckets=7).collect()}
+    cents = F.round(F.col("value") * 100).cast("long")
+    plain = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plain) and len(got) > 0
+    for uid in got:
+        for c in ("n_events", "value_cents", "first_ts", "last_ts"):
+            assert got[uid][c] == plain[uid][c], (uid, c)
+
+
+def test_referential_orphans_finds_planted_dangles(spark):
+    """Fact rows whose dim key was purged surface with exact cents."""
+    from html2text_spark.operators.relational import referential_orphans
+
+    fact = spark.createDataFrame(
+        [(1, 10, "HI", 1.50), (2, 20, "HI", 2.25), (3, 30, "LO", 4.00)],
+        "o_id long, custkey long, prio string, price double",
+    )
+    dim = spark.createDataFrame([(10,), (30,)], "c_custkey long")
+    got = {
+        r["prio"]: r
+        for r in referential_orphans(
+            fact, dim, "custkey", "c_custkey", "prio", "price"
+        ).collect()
+    }
+    assert set(got) == {"HI"}
+    assert got["HI"]["orphan_rows"] == 1 and got["HI"]["lost_cents"] == 225
+
+
+def test_cluster_representatives_argmax_quality(spark):
+    """Representative = highest score in the component (not min id);
+    ties break by id ascending."""
+    from html2text_spark.operators.dedup import cluster_representatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4)],
+        "doc_id long, quality double",
+    )
+    got = {r["cluster_id"]: r for r in cluster_representatives(pairs, scores).collect()}
+    assert got[1]["keep_doc_id"] == 2 and got[1]["cluster_size"] == 3
+    # tie on quality 0.4 -> lower id 10 wins
+    assert got[10]["keep_doc_id"] == 10 and got[10]["cluster_size"] == 2

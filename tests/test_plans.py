@@ -213,6 +213,7 @@ def test_topk_windows_use_window_group_limit(spark):
         "curation_ngrams",
         "text_salient_terms",
         "curation_domain_cap",
+        "events_latest_state",
     ):
         plan = _plan(e.queries()[q](spark, SF))
         assert "WindowGroupLimit" in plan, f"{q} lost rank-limit pushdown"
