@@ -1067,6 +1067,53 @@ def q_events_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.two_phase_totals(events, buckets=16)
 
 
+#: fixed CMS probe words: common corpus vocabulary plus one guaranteed
+#: absentee (CMS must report exactly 0 for an item no counter ever saw)
+CMS_PROBES = ("spark", "query", "the", "join", "table", "zzz_absent")
+CMS_DEPTH, CMS_WIDTH = 4, 512
+
+
+def q_text_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word-frequency estimates (third mergeable sketch
+    family, operators/sketches.py): corpus word stream -> depth x width
+    integer counters -> point estimates for fixed probe words beside
+    their exact counts.  md5 addressing makes the sketch bit-identical
+    in DuckDB, so the ESTIMATES are oracle-exact; overcount >= 0 is the
+    CMS guarantee, visible in the output."""
+    from html2text_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
+    )
+    sketch = count_min_build(words, "item", depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "item string")
+    est = count_min_estimate(
+        sketch, probes, "item", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = words.groupBy("item").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, on="item", how="left").select(
+        "item",
+        "cms_estimate",
+        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+        (
+            F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))
+        ).alias("overcount"),
+    )
+
+
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (rolling DAU/WAU):
+    dedup to (user, day), constant-fanout explode to the 7 report days
+    each pair serves, exact count-distinct per day."""
+    from html2text_spark.operators.behavior import rolling_active_users
+
+    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    return rolling_active_users(events, window_days=7)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1114,6 +1161,8 @@ def queries() -> dict[str, _Q]:
         "events_props_json": q_events_props_json,
         "events_pivot": q_events_pivot,
         "events_latest_state": q_events_latest_state,
+        "events_rolling_active": q_events_rolling_active,
+        "text_cms_words": q_text_cms_words,
         "events_scd2": q_events_scd2,
         "events_skew_agg": q_events_skew_agg,
         "events_retention": q_events_retention,
@@ -1541,6 +1590,38 @@ with recursive {union_near},
   from m)
 select cluster_id, doc_id as keep_doc_id, quality, cluster_size
 from sized where rn = 1
+""",
+        "text_cms_words": f"""
+with words as (
+  select unnest(string_split_regex(trim(text), '\\s+')) as item from documents),
+ idx as (select unnest([{", ".join(str(i) for i in range(CMS_DEPTH))}]) as i),
+ rc as (
+  select {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col, i as row
+  from words cross join idx),
+ sketch as (select row, col, count(*)::BIGINT as cnt from rc group by row, col),
+ probes(item) as (values {", ".join("('" + w + "')" for w in CMS_PROBES)}),
+ addr as (
+  select item, i as row,
+         {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col
+  from probes cross join idx),
+ est as (
+  select a.item, min(coalesce(s.cnt, 0))::BIGINT as cms_estimate
+  from addr a left join sketch s using (row, col) group by a.item),
+ exact as (select item, count(*)::BIGINT as exact_count from words group by item)
+select e.item, e.cms_estimate,
+       coalesce(x.exact_count, 0)::BIGINT as exact_count,
+       (e.cms_estimate - coalesce(x.exact_count, 0))::BIGINT as overcount
+from est e left join exact x using (item)
+""",
+        "events_rolling_active": """
+with pairs as (
+  select distinct user_id as uid, date_trunc('day', ts) as day from events),
+ contrib as (
+  select uid, unnest(generate_series(day, day + interval 6 days,
+                                     interval 1 day)) as report_day
+  from pairs)
+select report_day, count(distinct uid)::BIGINT as active_users
+from contrib group by report_day
 """,
         "events_latest_state": """
 select user_id, event_id, ts, event_type, round(value, 8) as value from (

@@ -227,6 +227,8 @@ def main() -> int:
         "events_latest_state",
         "events_skew_agg",
         "rel_orphans",
+        "text_cms_words",
+        "events_rolling_active",
     ]
     queries = entry_mod.queries()
 

@@ -120,3 +120,43 @@ def funnel_stages(
             entry > 0, F.round(F.col("users").cast("double") / entry, 6)
         ).alias("conversion"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing N-day distinct active users per day (the 7-day DAU/WAU
+    rollup every activity dashboard runs).
+
+    Exact distinct over a sliding window: dedup to (user, day) pairs
+    first (one map-combined shuffle, output |users|x|days| -- orders of
+    magnitude below the event count), then each pair contributes to the
+    ``window_days`` report days [day, day + N) via an explode whose
+    fanout is the constant N, never data-dependent, and finally an
+    exact count-distinct per report day (Spark's two-phase distinct
+    aggregate).  No window-function state over the raw event stream and
+    every shuffle key is uniform, so the shape survives the design
+    point unchanged; trailing days at the end of the data hold partial
+    windows by construction, same as the oracle.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    pairs = events.select(
+        F.col(user_col).alias("user"), F.date_trunc("day", ts_col).alias("day")
+    ).distinct()
+    contrib = pairs.select(
+        "user",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return contrib.groupBy("report_day").agg(
+        F.countDistinct("user").alias("active_users")
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import unit_hash
+from .dedup import md5_int, unit_hash
 
 
 def kmv_distinct(
@@ -87,4 +87,80 @@ def hll_distinct(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col(key_col), lg_k)
         ).alias("hll_users")
+    )
+
+
+def count_min_build(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch counter table over an item stream.
+
+    The THIRD mergeable sketch family in the suite (after KMV and HLL):
+    frequency estimation in depth x width integer counters (Cormode &
+    Muthukrishnan 2005).  Each occurrence increments one counter per
+    row, at column md5(item || '#row') mod width -- pure integer md5
+    arithmetic, so DuckDB builds the bit-identical sketch and the
+    ESTIMATES are oracle-exact, unlike register-internal HLL.
+
+    Scale shape: explode(depth) -> ONE hash-aggregate shuffle keyed by
+    (row, col), whose output is at most depth*width rows regardless of
+    corpus size -- partials combine map-side, so the exchange carries
+    <= depth*width rows per map task.  Sketches over shards merge by
+    adding counters (same grouped sum).
+    """
+    item = F.col(item_col)
+    rc = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(
+                md5_int(F.concat(item, F.lit(f"#{i}"))), F.lit(width)
+            ).alias("col"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        items.select(F.explode(F.array(*rc)).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a count-min sketch for each probe item.
+
+    estimate = min over rows of the addressed counter (0 when a counter
+    was never touched -- the item definitely did not occur).  CMS
+    guarantees estimate >= true count; the broadcast-sized probe list
+    equi-joins the depth*width sketch, no corpus access.
+    """
+    item = F.col(item_col)
+    addressed = probes.select(
+        item,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_int(F.concat(item, F.lit(f"#{i}"))),
+                            F.lit(width),
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(item_col, "rc.row", "rc.col")
+    joined = addressed.join(sketch, on=["row", "col"], how="left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )

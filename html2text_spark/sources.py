@@ -33,8 +33,8 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_flat_documents(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a FLAT (doc_id, text, ...) corpus from parquet, JSONL, or
-    headered CSV by extension -- the interchange formats crawled corpora
+    """Scan a FLAT (doc_id, text, ...) corpus from parquet, ORC, JSONL,
+    or headered CSV by extension -- the interchange formats crawled corpora
     actually arrive in.  JSON/CSV scans still stream split-by-split
     (Spark's text-based sources are splittable on line boundaries for
     uncompressed/bgzip data), so the adapter chain
@@ -45,6 +45,10 @@ def read_flat_documents(spark: SparkSession, path: str) -> DataFrame:
     schema = "doc_id string, text string, lang string, source string"
     if path.endswith((".jsonl", ".json")):
         return spark.read.schema(schema).json(path)
+    if path.endswith(".orc"):
+        # columnar like parquet (predicate pushdown, column pruning,
+        # stripe-level splits); schema enforced for scan-time type safety
+        return spark.read.schema(schema).orc(path)
     if path.endswith((".csv", ".tsv")):
         sep = "\t" if path.endswith(".tsv") else ","
         return (

@@ -1490,3 +1490,65 @@ def test_cluster_representatives_argmax_quality(spark):
     assert got[1]["keep_doc_id"] == 2 and got[1]["cluster_size"] == 3
     # tie on quality 0.4 -> lower id 10 wins
     assert got[10]["keep_doc_id"] == 10 and got[10]["cluster_size"] == 2
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    """CMS guarantees estimate >= exact, exact 0 for never-seen items,
+    and sketches merge by adding counters (shard A + shard B == whole)."""
+    from html2text_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    vocab = [f"w{i % 17}" for i in range(400)] + ["hot"] * 60
+    items = spark.createDataFrame([(w,) for w in vocab], "item string")
+    sketch = count_min_build(items, "item", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("hot",), ("w3",), ("never",)], "item string"
+    )
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in count_min_estimate(sketch, probes, "item", 4, 64).collect()
+    }
+    assert est["hot"] >= 60
+    assert est["w3"] >= sum(1 for w in vocab if w == "w3")
+    assert est["never"] == 0
+    # merge: counters of two halves sum to the whole corpus sketch
+    half_a = spark.createDataFrame([(w,) for w in vocab[:200]], "item string")
+    half_b = spark.createDataFrame([(w,) for w in vocab[200:]], "item string")
+    merged = (
+        count_min_build(half_a, "item", 4, 64)
+        .unionAll(count_min_build(half_b, "item", 4, 64))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_rolling_active_users_window_content(spark):
+    """Hand-checkable 2-day rolling distinct: each (user, day) pair
+    serves exactly its own day and the next."""
+    from html2text_spark.operators.behavior import rolling_active_users
+
+    rows = [
+        (1, "2024-01-01 05:00:00", 100),
+        (2, "2024-01-01 06:00:00", 200),
+        (3, "2024-01-02 07:00:00", 100),   # same user again day 2
+        (4, "2024-01-04 08:00:00", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r["report_day"])[:10]: r["active_users"]
+        for r in rolling_active_users(df, window_days=2).collect()
+    }
+    assert got == {
+        "2024-01-01": 2,  # users 100, 200
+        "2024-01-02": 2,  # 100 (again), 200 trailing from day 1
+        "2024-01-03": 1,  # 100 trailing from day 2
+        "2024-01-04": 1,  # 300
+        "2024-01-05": 1,  # 300 trailing
+    }

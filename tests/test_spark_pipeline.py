@@ -413,6 +413,13 @@ def test_flat_source_formats_round_trip(spark, tmp_path):
     got_c = md_of(read_flat_documents(spark, cpath))
     assert got_c == want
 
+    odir = str(tmp_path / "docs_orc")
+    docs.write.orc(odir)
+    opath = str(tmp_path / "docs.orc")
+    _os.symlink(odir, opath)
+    got_o = md_of(read_flat_documents(spark, opath))
+    assert got_o == want
+
 
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """A lang-partitioned layout + lang predicate must prune at the
