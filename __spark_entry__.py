@@ -639,7 +639,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_operators.py)."""
     from html2text_spark.streaming.sessions import sessionize_batch
 
-    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    events = _tbl(spark, sf_dir, "events")
     return sessionize_batch(events, gap_minutes=30)
 
 
@@ -1025,7 +1025,7 @@ def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest row (last-writer-wins, ties resolved by the unique event_id).
     One shuffle; WindowGroupLimit caps what a hot user ships to the
     exchange (plan-gated)."""
-    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    events = _tbl(spark, sf_dir, "events")
     return CDC.latest_state(events).select(
         "user_id",
         "event_id",
@@ -1039,7 +1039,7 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history build: every change widened into a validity interval
     (valid_from, valid_to = next change, open interval = current) -- the
     standard temporal-table materialization, one lead() window per user."""
-    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    events = _tbl(spark, sf_dir, "events")
     return CDC.scd2_history(events).select(
         "user_id", "event_id", "valid_from", "valid_to", "is_current", "event_type"
     )
@@ -1063,7 +1063,7 @@ def q_events_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, salt-of-event-id) partials then merged -- bit-identical to
     the plain groupBy the oracle runs, because every aggregate is
     algebraic and money is exact integer cents."""
-    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    events = _tbl(spark, sf_dir, "events")
     return SK.two_phase_totals(events, buckets=16)
 
 
@@ -1093,7 +1093,14 @@ def q_text_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = count_min_estimate(
         sketch, probes, "item", depth=CMS_DEPTH, width=CMS_WIDTH
     )
-    exact = words.groupBy("item").agg(F.count("*").alias("exact_count"))
+    # exact side restricted to the 6 probes BEFORE aggregating -- the
+    # unfiltered groupBy would shuffle the whole corpus vocabulary to
+    # serve a 6-row join (isin is a pushed-down codegen filter)
+    exact = (
+        words.filter(F.col("item").isin(*CMS_PROBES))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+    )
     return est.join(exact, on="item", how="left").select(
         "item",
         "cms_estimate",
@@ -1110,7 +1117,7 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     each pair serves, exact count-distinct per day."""
     from html2text_spark.operators.behavior import rolling_active_users
 
-    events = _spread(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    events = _tbl(spark, sf_dir, "events")
     return rolling_active_users(events, window_days=7)
 
 
@@ -1212,6 +1219,21 @@ def queries() -> dict[str, _Q]:
 # ----------------------------------------------------------------------
 
 _MD5INT = "('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+_sessions_sql = """
+with b as (
+  select user_id, ts,
+    case when lag(ts) over (partition by user_id order by ts) is null
+          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
+         then 1 else 0 end as boundary
+  from events),
+ s as (select user_id, ts,
+       sum(boundary) over (partition by user_id order by ts
+                           rows unbounded preceding) as sidx from b)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+       count(*)::INT as events
+from s group by user_id, sidx
+"""
 
 
 def _minhash_sig_sql(src: str = "documents") -> str:
@@ -1607,7 +1629,8 @@ with words as (
  est as (
   select a.item, min(coalesce(s.cnt, 0))::BIGINT as cms_estimate
   from addr a left join sketch s using (row, col) group by a.item),
- exact as (select item, count(*)::BIGINT as exact_count from words group by item)
+ exact as (select item, count(*)::BIGINT as exact_count from words
+           where item in (select item from probes) group by item)
 select e.item, e.cms_estimate,
        coalesce(x.exact_count, 0)::BIGINT as exact_count,
        (e.cms_estimate - coalesce(x.exact_count, 0))::BIGINT as overcount
@@ -1738,48 +1761,12 @@ select l.vec_id as doc_a, r.vec_id as doc_b,
 from h l join h r on l.bucket = r.bucket and l.vec_id < r.vec_id
 where round({_dot_sql('l.emb', 'r.emb')} / ({_norm_sql('l.emb')} * {_norm_sql('r.emb')}), 8) >= 0.9
 """,
-        "events_sessions": """
-with b as (
-  select user_id, ts,
-    case when lag(ts) over (partition by user_id order by ts) is null
-          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
-         then 1 else 0 end as boundary
-  from events),
- s as (select user_id, ts,
-       sum(boundary) over (partition by user_id order by ts
-                           rows unbounded preceding) as sidx from b)
-select user_id, min(ts) as session_start, max(ts) as session_end,
-       count(*)::INT as events
-from s group by user_id, sidx
-""",
-        "events_sessions_native": """
-with b as (
-  select user_id, ts,
-    case when lag(ts) over (partition by user_id order by ts) is null
-          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
-         then 1 else 0 end as boundary
-  from events),
- s as (select user_id, ts,
-       sum(boundary) over (partition by user_id order by ts
-                           rows unbounded preceding) as sidx from b)
-select user_id, min(ts) as session_start, max(ts) as session_end,
-       count(*)::INT as events
-from s group by user_id, sidx
-""",
-        "events_sessions_stream": """
-with b as (
-  select user_id, ts,
-    case when lag(ts) over (partition by user_id order by ts) is null
-          or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) > 1800000000
-         then 1 else 0 end as boundary
-  from events),
- s as (select user_id, ts,
-       sum(boundary) over (partition by user_id order by ts
-                           rows unbounded preceding) as sidx from b)
-select user_id, min(ts) as session_start, max(ts) as session_end,
-       count(*)::INT as events
-from s group by user_id, sidx
-""",
+        # ONE string for all three sessionization twins (custom batch,
+        # native session_window, streaming): identical semantics is the
+        # point -- an edit applies to all or none
+        "events_sessions": _sessions_sql,
+        "events_sessions_native": _sessions_sql,
+        "events_sessions_stream": _sessions_sql,
         "events_hourly": """
 select date_trunc('hour', ts) as hour, event_type,
        count(*) as events,

@@ -313,11 +313,12 @@ def salient_terms(
 
 
 #: PII patterns restricted to the Java-regex ∩ RE2 common subset (no
-#: backrefs, no lookaround) so the Spark expressions and the DuckDB
-#: oracle compile the SAME pattern text.  Order matters: emails are
-#: scrubbed before IPs/phones so their digit runs can't be re-matched.
+#: backrefs, no lookaround; the inline (?i) flag IS in the common
+#: subset) so the Spark expressions and the DuckDB oracle compile the
+#: SAME pattern text.  Order matters: emails are scrubbed before
+#: IPs/phones so their digit runs can't be re-matched.
 PII_PATTERNS = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ip", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
     ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
 )

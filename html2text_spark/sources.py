@@ -35,12 +35,18 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
 def read_flat_documents(spark: SparkSession, path: str) -> DataFrame:
     """Scan a FLAT (doc_id, text, ...) corpus from parquet, ORC, JSONL,
     or headered CSV by extension -- the interchange formats crawled corpora
-    actually arrive in.  JSON/CSV scans still stream split-by-split
-    (Spark's text-based sources are splittable on line boundaries for
-    uncompressed/bgzip data), so the adapter chain
-    ``read_flat_documents -> adapt_flat_documents -> extract`` keeps the
-    same narrow shuffle-free plan as parquet input.  Schema is enforced,
-    never inferred: inference would scan the corpus twice at 100 TB.
+    actually arrive in.  JSONL scans stream split-by-split (newlines
+    inside documents are \\n-escaped by the format, so line boundaries
+    are record boundaries); CSV must use multiLine=true because crawled
+    text routinely embeds raw newlines inside quoted fields -- a
+    line-split read silently shreds such documents into garbage rows.
+    That makes each CSV FILE the unit of parallelism (not each line
+    range): acceptable for many-file corpora, and the honest cost of
+    CSV as a text container -- prefer parquet/ORC/JSONL at scale.  The
+    adapter chain ``read_flat_documents -> adapt_flat_documents ->
+    extract`` keeps the same narrow shuffle-free plan as parquet input.
+    Schema is enforced, never inferred: inference would scan the corpus
+    twice at 100 TB.
     """
     schema = "doc_id string, text string, lang string, source string"
     if path.endswith((".jsonl", ".json")):
@@ -55,7 +61,7 @@ def read_flat_documents(spark: SparkSession, path: str) -> DataFrame:
             spark.read.schema(schema)
             .option("header", "true")
             .option("sep", sep)
-            .option("multiLine", "false")
+            .option("multiLine", "true")
             .csv(path)
         )
     return spark.read.parquet(path)

@@ -34,23 +34,27 @@ def run_finite_stream(
     cleanup = work_dir is None
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="h2t_stream_")
-    in_dir = os.path.join(work_dir, "in")
-    staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
-    stream = spark.readStream.schema(
-        spark.read.parquet(in_dir).schema
-    ).parquet(in_dir)
-    q = (
-        stream_fn(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if cleanup:
-        # the memory sink holds the rows; the staged input is disposable
-        shutil.rmtree(work_dir, ignore_errors=True)
+    try:
+        in_dir = os.path.join(work_dir, "in")
+        staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(in_dir).schema
+        ).parquet(in_dir)
+        q = (
+            stream_fn(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if cleanup:
+            # the memory sink holds the rows; the staged input is
+            # disposable -- removed even when the query fails, so
+            # repeated failing runs can't accumulate corpus copies
+            shutil.rmtree(work_dir, ignore_errors=True)
     return spark.table(query_name)
 
 
@@ -70,24 +74,26 @@ def run_finite_stream2(
     cleanup = work_dir is None
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="h2t_stream2_")
-    streams = []
-    for name, staged in (("a", staged_a), ("b", staged_b)):
-        in_dir = os.path.join(work_dir, name)
-        staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
-        streams.append(
-            spark.readStream.schema(
-                spark.read.parquet(in_dir).schema
-            ).parquet(in_dir)
+    try:
+        streams = []
+        for name, staged in (("a", staged_a), ("b", staged_b)):
+            in_dir = os.path.join(work_dir, name)
+            staged.coalesce(1).write.mode("overwrite").parquet(in_dir)
+            streams.append(
+                spark.readStream.schema(
+                    spark.read.parquet(in_dir).schema
+                ).parquet(in_dir)
+            )
+        q = (
+            stream_fn(*streams)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    q = (
-        stream_fn(*streams)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if cleanup:
-        shutil.rmtree(work_dir, ignore_errors=True)
+        q.awaitTermination()
+    finally:
+        if cleanup:
+            shutil.rmtree(work_dir, ignore_errors=True)
     return spark.table(query_name)

@@ -1242,7 +1242,6 @@ def test_session_window_native_vs_custom_boundary(spark):
     boundary oracle.  This test pins the native operator's boundary
     semantics; if a Spark upgrade flips it to half-open, the shared
     oracle would silently diverge and this fails first."""
-    import __spark_entry__ as e
     from html2text_spark.streaming.sessions import sessionize_batch
 
     rows = [
@@ -1293,6 +1292,7 @@ def test_pii_scrub_redacts_and_counts(spark):
         (3, "call 555-0199 or 555-1234 now"),
         (4, "perfectly clean text with no identifiers"),
         (5, "mixed a@b.co at 1.2.3.4 call 555-0000"),
+        (6, "Email ME at Jane.Doe@Example.COM please"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
@@ -1301,12 +1301,14 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 2)
     assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
     assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (1, 1, 1)
+    assert (got[6]["n_email"], got[6]["n_ip"], got[6]["n_phone"]) == (1, 0, 0)
     expected = {
         1: "reach me at <EMAIL> or <EMAIL> today",
         2: "server <IP> and backup <IP> are up",
         3: "call <PHONE> or <PHONE> now",
         4: rows[3][1],
         5: "mixed <EMAIL> at <IP> call <PHONE>",
+        6: "Email ME at <EMAIL> please",
     }
     for i, exp in expected.items():
         assert got[i]["scrubbed_len"] == len(exp)

@@ -386,6 +386,14 @@ def test_flat_source_formats_round_trip(spark, tmp_path):
         )
         .limit(50)
     )
+    # crawled text routinely embeds raw newlines; a line-split CSV read
+    # silently shreds such docs (caught in r4 review -> multiLine=true)
+    docs = docs.unionAll(
+        spark.createDataFrame(
+            [("nl_doc", "<p>line one\nline two</p>", "en", "web")],
+            docs.schema,
+        )
+    )
 
     def md_of(flat):
         ext = extract(adapt_flat_documents(flat))
