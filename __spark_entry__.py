@@ -1121,6 +1121,56 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(events, window_days=7)
 
 
+#: per-language keep rates (integer percent) for the stratified sample:
+#: downsample crawl-dominant English, keep scarce strata at higher rates
+STRATA_RATES = {"en": 10, "de": 40, "es": 30, "fr": 50, "zh": 25}
+
+#: incremental-maintenance cutoff: history before, delta after
+INCR_CUTOFF = "2024-01-21 00:00:00"
+
+#: events columns profiled by rel_profile
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def q_curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic hash sample (different keep rate per
+    language -- the corpus-mixing knob).  Literal CASE rate lookup, so
+    the filter stays in codegen and pushes to the scan; decision is a
+    pure md5 function of doc_id, reproducible across retries."""
+    return C.stratified_sample(
+        _docs(spark, sf_dir), STRATA_RATES, strata_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def q_events_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-user totals as (materialized
+    history snapshot) MERGE (delta aggregate) instead of a full
+    recompute -- shuffle cost proportional to |delta| + |state|, not
+    history length.  The oracle is the full recompute (plain GROUP BY
+    over all events); algebraic aggregates + integer cents make the
+    merged result bit-identical to it."""
+    from html2text_spark.operators.incremental import (
+        merge_snapshots,
+        totals_snapshot,
+    )
+
+    events = _tbl(spark, sf_dir, "events")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    prev = totals_snapshot(events.filter(F.col("ts") < cutoff))
+    delta = totals_snapshot(events.filter(F.col("ts") >= cutoff))
+    return merge_snapshots(prev, delta)
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style data profile of the events table: exact per-column
+    row/null/distinct counts in one scan (multi-distinct Expand plan;
+    the 100 TB variant samples or swaps to approx_count_distinct, as
+    documented in operators/profiling.py)."""
+    from html2text_spark.operators.profiling import profile_columns
+
+    return profile_columns(_tbl(spark, sf_dir, "events"), PROFILE_COLS)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1196,6 +1246,9 @@ def queries() -> dict[str, _Q]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_filter_verdicts": q_text_filter_verdicts,
         "curation_domain_cap": q_curation_domain_cap,
+        "curation_stratified": q_curation_stratified,
+        "events_incremental": q_events_incremental,
+        "rel_profile": q_rel_profile,
         "events_attribution_stream": q_events_attribution_stream,
         "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
@@ -2075,6 +2128,23 @@ select source, lang, doc_id, rank::INT as rank from (
   from documents)
 where rank <= 5
 """,
+        "curation_stratified": f"""
+select doc_id, lang, source from documents
+where ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 <
+  case lang {" ".join(f"when '{k}' then {v}" for k, v in sorted(STRATA_RATES.items()))} else 0 end
+""",
+        "events_incremental": f"""
+select user_id, count(*)::BIGINT as n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT as value_cents,
+       min(ts) as first_ts, max(ts) as last_ts
+from events group by user_id
+""",
+        "rel_profile": "\nunion all\n".join(
+            f"select '{c}' as col_name, count(*)::BIGINT as n_rows,\n"
+            f"       (count(*) - count({c}))::BIGINT as n_nulls,\n"
+            f"       count(distinct {c})::BIGINT as n_distinct from events"
+            for c in PROFILE_COLS
+        ),
         "events_attribution_stream": """
 select v.user_id, v.event_id as view_id, c.event_id as click_id,
        v.ts as view_ts, c.ts as click_ts,

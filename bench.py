@@ -229,6 +229,9 @@ def main() -> int:
         "rel_orphans",
         "text_cms_words",
         "events_rolling_active",
+        "curation_stratified",
+        "events_incremental",
+        "rel_profile",
     ]
     queries = entry_mod.queries()
 

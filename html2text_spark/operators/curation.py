@@ -273,3 +273,32 @@ def domain_cap(
         .filter(F.col("rank") <= k)
         .select(*group_cols, id_col, "rank")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling (different keep rate per
+    group -- upsample scarce languages, downsample the crawl-dominant
+    one; the knob behind every corpus mixing recipe).
+
+    Same md5 decision function as ``hash_sample`` so the choice is a
+    pure function of the id: reproducible across retries/resumes and
+    mirrorable in the oracle.  The rate lookup is a literal CASE chain
+    (the strata dict is query metadata, not data), so the whole filter
+    stays inside codegen and pushes to the scan -- zero joins, zero
+    shuffles, works at any corpus size.  Strata absent from the dict
+    fall back to ``default_pct`` (0 = drop, the safe default for
+    unexpected values).
+    """
+    rate = F.lit(int(default_pct))
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(
+            F.col(strata_col) == stratum, F.lit(int(pct))
+        ).otherwise(rate)
+    return df.filter(_hash_pct(F.col(id_col), salt) < rate)

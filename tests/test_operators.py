@@ -1554,3 +1554,69 @@ def test_rolling_active_users_window_content(spark):
         "2024-01-04": 1,  # 300
         "2024-01-05": 1,  # 300 trailing
     }
+
+
+def test_stratified_sample_rates_and_default(spark, docs):
+    """Per-stratum rates hold (pure hash decision), strata missing from
+    the dict fall to default_pct, and the pick set is repartition-proof."""
+    from html2text_spark.operators.curation import stratified_sample
+
+    rates = {"en": 50, "de": 0}
+    kept = stratified_sample(docs, rates, strata_col="lang").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert "de" not in by_lang            # rate 0
+    assert set(by_lang) <= {"en"}         # others default to 0
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0.3 * n_en < len(by_lang.get("en", [])) < 0.7 * n_en
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), rates, strata_col="lang"
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """prev-snapshot + delta merged == full recompute, including keys
+    present on only one side."""
+    from html2text_spark.operators.incremental import (
+        merge_snapshots,
+        totals_snapshot,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    prev_events = events.filter(F.col("ts") < cutoff)
+    delta_events = events.filter(F.col("ts") >= cutoff)
+    # the split must exercise one-sided keys for the merge to be tested
+    prev_keys = {r["user_id"] for r in prev_events.select("user_id").distinct().collect()}
+    delta_keys = {r["user_id"] for r in delta_events.select("user_id").distinct().collect()}
+    merged = {
+        r["user_id"]: r
+        for r in merge_snapshots(
+            totals_snapshot(prev_events), totals_snapshot(delta_events)
+        ).collect()
+    }
+    full = {r["user_id"]: r for r in totals_snapshot(events).collect()}
+    assert set(merged) == set(full) == (prev_keys | delta_keys)
+    for uid in full:
+        for c in ("n_events", "value_cents", "first_ts", "last_ts"):
+            assert merged[uid][c] == full[uid][c], (uid, c)
+
+
+def test_profile_columns_counts(spark):
+    """Null and distinct counts per column from one synthetic frame."""
+    from html2text_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, tag string"
+    )
+    got = {
+        r["col_name"]: r for r in profile_columns(df, ("id", "tag")).collect()
+    }
+    assert got["id"]["n_rows"] == 4
+    assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4
+    assert got["tag"]["n_nulls"] == 1 and got["tag"]["n_distinct"] == 2
