@@ -1171,6 +1171,43 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(_tbl(spark, sf_dir, "events"), PROFILE_COLS)
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user stream (path
+    analysis): lag window on the uniform user key + a |types|^2 matrix
+    aggregate."""
+    from html2text_spark.operators.behavior import event_transitions
+
+    return event_transitions(_tbl(spark, sf_dir, "events"))
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type with zero-filled gaps
+    (densification): per-group bounds -> sequence scaffold -> left join
+    of daily counts; the corpus is scanned once."""
+    from html2text_spark.operators.behavior import gapfill_daily_counts
+
+    return gapfill_daily_counts(_tbl(spark, sf_dir, "events"))
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused equi-join (join-side companion of events_skew_agg):
+    events salted on md5(event_id), the per-user cohort dimension
+    replicated x buckets, joined on (user_id, salt) -- a hot user spans
+    ``buckets`` tasks instead of one.  Aggregated to (cohort_day, type)
+    totals; oracle is the plain unsalted join + GROUP BY."""
+    events = _tbl(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    joined = SK.salted_join(events, dim, "user_id", "event_id", buckets=8)
+    return joined.groupBy("cohort_day", "event_type").agg(
+        F.count("*").alias("events"),
+        R._sum_wide(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1219,6 +1256,9 @@ def queries() -> dict[str, _Q]:
         "events_pivot": q_events_pivot,
         "events_latest_state": q_events_latest_state,
         "events_rolling_active": q_events_rolling_active,
+        "events_transitions": q_events_transitions,
+        "events_gapfill": q_events_gapfill,
+        "events_salted_join": q_events_salted_join,
         "text_cms_words": q_text_cms_words,
         "events_scd2": q_events_scd2,
         "events_skew_agg": q_events_skew_agg,
@@ -1698,6 +1738,40 @@ with pairs as (
   from pairs)
 select report_day, count(distinct uid)::BIGINT as active_users
 from contrib group by report_day
+""",
+        "events_transitions": """
+with t as (
+  select coalesce(lag(event_type) over (partition by user_id
+                                        order by ts asc, event_id asc),
+                  'START') as prev_type,
+         event_type as next_type
+  from events)
+select prev_type, next_type, count(*)::BIGINT as transitions
+from t group by prev_type, next_type
+""",
+        "events_gapfill": """
+with counts as (
+  select event_type as grp, date_trunc('day', ts) as day,
+         count(*)::BIGINT as events
+  from events group by 1, 2),
+ bounds as (
+  select event_type as grp,
+         min(date_trunc('day', ts)) as lo, max(date_trunc('day', ts)) as hi
+  from events group by 1),
+ scaffold as (
+  select grp, unnest(generate_series(lo, hi, interval 1 day)) as day
+  from bounds)
+select s.grp, s.day, coalesce(c.events, 0)::BIGINT as events
+from scaffold s left join counts c using (grp, day)
+""",
+        "events_salted_join": """
+with dim as (
+  select user_id, min(date_trunc('day', ts)) as cohort_day
+  from events group by user_id)
+select d.cohort_day, e.event_type, count(*)::BIGINT as events,
+       sum(round(e.value * 100)::BIGINT)::BIGINT as value_cents
+from events e join dim d using (user_id)
+group by 1, 2
 """,
         "events_latest_state": """
 select user_id, event_id, ts, event_type, round(value, 8) as value from (

@@ -232,6 +232,9 @@ def main() -> int:
         "curation_stratified",
         "events_incremental",
         "rel_profile",
+        "events_transitions",
+        "events_gapfill",
+        "events_salted_join",
     ]
     queries = entry_mod.queries()
 

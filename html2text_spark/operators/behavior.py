@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,4 +159,68 @@ def rolling_active_users(
     )
     return contrib.groupBy("report_day").agg(
         F.countDistinct("user").alias("active_users")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences (the
+    path-analysis primitive behind funnels-you-didn't-predefine).
+
+    lag() over each user's (ts, seq)-ordered stream pairs every event
+    with its predecessor type ('START' for the first); counts aggregate
+    per (prev, next).  One window shuffle on the uniform user key plus
+    one tiny matrix aggregate (|types|^2 + |types| rows).  Deterministic
+    ordering via the unique sequence tie-break.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        events.select(
+            F.coalesce(prev, F.lit("START")).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+
+
+def gapfill_daily_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dense daily series per group: every day in the group's observed
+    [min, max] range appears, zero-filled where no events landed (the
+    densification step dashboards and window models need -- a missing
+    day must read as 0, not as an absent row).
+
+    Scaffold = per-group (min_day, max_day) aggregate (|groups| rows)
+    exploded via sequence -- fanout is the date range, data-independent
+    of row count -- then a left join of the scaffold against the daily
+    counts on the uniform (group, day) key.  The raw corpus is touched
+    exactly once, by the counts aggregate.
+    """
+    day = F.date_trunc("day", ts_col)
+    counts = events.groupBy(
+        F.col(group_col).alias("grp"), day.alias("day")
+    ).agg(F.count("*").alias("events"))
+    bounds = events.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    scaffold = bounds.select(
+        "grp",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return scaffold.join(counts, on=["grp", "day"], how="left").select(
+        "grp", "day", F.coalesce(F.col("events"), F.lit(0)).alias("events")
     )

@@ -65,3 +65,36 @@ def two_phase_totals(
         F.min("_first").alias("first_ts"),
         F.max("_last").alias("last_ts"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    seq_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-defused equi-join: big side salted, dim side replicated.
+
+    The join-side companion to ``two_phase_totals``: when one key holds
+    a disproportionate share of the BIG side, a plain shuffle join puts
+    that key's entire row set in one task.  Salting splits it: the big
+    side gets salt = md5(row-unique id) mod buckets, the dim side is
+    exploded into ``buckets`` copies (one per salt), and the join runs
+    on (key, salt) -- the hot key now spans ``buckets`` tasks.  Cost:
+    dim ships buckets x |dim| rows, the classic trade.  Results equal
+    the unsalted join row-for-row (the dim copy matched is identical).
+
+    AQE's skew-join splitting makes this unnecessary for sort-merge
+    joins it can see; the explicit form remains the tool for skew AQE
+    cannot detect (post-shuffle explosions, bucketed-table joins that
+    bypass the exchange) -- and it is deterministic, not heuristic.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    salt = F.pmod(md5_int32(F.col(seq_col).cast("string")), F.lit(buckets))
+    b = big.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return b.join(d, on=[key_col, "_salt"], how="inner").drop("_salt")

@@ -1620,3 +1620,78 @@ def test_profile_columns_counts(spark):
     assert got["id"]["n_rows"] == 4
     assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 4
     assert got["tag"]["n_nulls"] == 1 and got["tag"]["n_distinct"] == 2
+
+
+def test_event_transitions_counts(spark):
+    """Hand-checkable transition matrix incl. START pseudo-state."""
+    from html2text_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:05:00", 7, "click"),
+        (3, "2024-01-01 10:09:00", 7, "purchase"),
+        (4, "2024-01-01 11:00:00", 8, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["prev_type"], r["next_type"]): r["transitions"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("START", "view"): 2,
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+    }
+
+
+def test_gapfill_fills_missing_days_with_zero(spark):
+    """A day inside the observed range with no events reads as 0."""
+    from html2text_spark.operators.behavior import gapfill_daily_counts
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-03 10:00:00", 8, "view"),   # Jan 2 is a hole
+        (3, "2024-01-01 09:00:00", 9, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["grp"], str(r["day"])[:10]): r["events"]
+        for r in gapfill_daily_counts(df).collect()
+    }
+    assert got == {
+        ("view", "2024-01-01"): 1,
+        ("view", "2024-01-02"): 0,
+        ("view", "2024-01-03"): 1,
+        ("click", "2024-01-01"): 1,
+    }
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join returns the plain join's rows exactly, with a planted
+    hot key (one user owning most of the big side)."""
+    from html2text_spark.operators.skew import salted_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(300)
+    hot = events.select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        "ts",
+        F.lit(42).alias("user_id"),   # one scorching key
+        "event_type",
+        "value",
+        "props",
+    )
+    big = events.unionByName(hot)
+    dim = big.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    salted = {
+        (r["event_id"], r["first_ts"])
+        for r in salted_join(big, dim, "user_id", "event_id", buckets=5).collect()
+    }
+    plain = {
+        (r["event_id"], r["first_ts"])
+        for r in big.join(dim, "user_id").collect()
+    }
+    assert salted == plain and len(salted) == 600
