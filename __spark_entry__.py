@@ -944,6 +944,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.py): each media
+    row expands JVM-side into its frame timestamps (sequence/explode;
+    the per-frame decode is the stubbed codec step).  Duration is
+    derived deterministically from n_chars so frame counts vary per
+    doc; the oracle mirrors with generate_series."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("fake://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            ((F.col("n_chars") % 10) * 1000 + 500).cast("int").alias(
+                "duration_ms"
+            ),
+        ).alias("meta"),
+    )
+    frames = M.frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("doc_id", "media_ref").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
+    )
+
+
 def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministically PLANTED PII markers (the corpus
     itself is clean word soup): email on doc_id%7, phone on doc_id%11,
@@ -1304,6 +1331,7 @@ def queries() -> dict[str, _Q]:
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
         "multimodal_features": q_multimodal_features,
+        "multimodal_framesample": q_multimodal_framesample,
     }
 
 
@@ -1738,6 +1766,20 @@ with pairs as (
   from pairs)
 select report_day, count(distinct uid)::BIGINT as active_users
 from contrib group by report_day
+""",
+        "multimodal_framesample": """
+with m as (
+  select doc_id::VARCHAR as doc_id,
+         'fake://' || doc_id::VARCHAR as media_ref,
+         ((n_chars % 10) * 1000 + 500)::INT as duration_ms
+  from documents),
+ f as (
+  select doc_id, media_ref,
+         unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) as frame_ts_ms
+  from m)
+select doc_id, media_ref, count(*)::BIGINT as n_frames,
+       max(frame_ts_ms)::BIGINT as last_frame_ms
+from f group by doc_id, media_ref
 """,
         "events_transitions": """
 with t as (
