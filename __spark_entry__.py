@@ -1183,8 +1183,13 @@ def q_events_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _tbl(spark, sf_dir, "events")
     cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    # the split must be EXHAUSTIVE: a null ts satisfies neither ts<c nor
+    # ts>=c and would vanish from both snapshots while the full-recompute
+    # oracle still counts the row -- route nulls to the delta side
     prev = totals_snapshot(events.filter(F.col("ts") < cutoff))
-    delta = totals_snapshot(events.filter(F.col("ts") >= cutoff))
+    delta = totals_snapshot(
+        events.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff))
+    )
     return merge_snapshots(prev, delta)
 
 
@@ -1229,9 +1234,7 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = SK.salted_join(events, dim, "user_id", "event_id", buckets=8)
     return joined.groupBy("cohort_day", "event_type").agg(
         F.count("*").alias("events"),
-        R._sum_wide(F.round(F.col("value") * 100).cast("long")).alias(
-            "value_cents"
-        ),
+        R._sum_wide(R._cents("value")).alias("value_cents"),
     )
 
 

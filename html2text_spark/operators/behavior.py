@@ -212,8 +212,11 @@ def gapfill_daily_counts(
     counts = events.groupBy(
         F.col(group_col).alias("grp"), day.alias("day")
     ).agg(F.count("*").alias("events"))
-    bounds = events.groupBy(F.col(group_col).alias("grp")).agg(
-        F.min(day).alias("lo"), F.max(day).alias("hi")
+    # bounds derive from the daily counts (min/max over per-day groups
+    # == min/max over rows), so the corpus really is scanned once --
+    # a second groupBy over `events` would not be CSE'd by Spark
+    bounds = counts.groupBy("grp").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     scaffold = bounds.select(
         "grp",

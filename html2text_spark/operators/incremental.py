@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .relational import _sum_wide
+from .relational import _cents, _sum_wide
 
 #: the mergeable per-key totals schema shared by snapshot and delta
 _AGG_COLS = ("n_events", "value_cents", "first_ts", "last_ts")
@@ -35,10 +35,9 @@ def totals_snapshot(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Per-key mergeable totals (the materialized state)."""
-    cents = F.round(F.col(value_col) * 100).cast("long")
     return events.groupBy(key_col).agg(
         F.count("*").alias("n_events"),
-        _sum_wide(cents).alias("value_cents"),
+        _sum_wide(_cents(value_col)).alias("value_cents"),
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )

@@ -29,12 +29,18 @@ def profile_columns(df: DataFrame, cols: tuple) -> DataFrame:
     which engines format differently (doubles, timestamps), breaking
     oracle parity without adding profiling signal.
     """
+    for c in cols:
+        # names are interpolated into selectExpr below; backtick-quoting
+        # handles spaces/dashes, but a backtick or quote inside a name
+        # cannot be escaped there -- fail loud instead of mis-parsing
+        if "`" in c or "'" in c:
+            raise ValueError(f"unsupported character in column name: {c!r}")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    stack_args = ", ".join(f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in cols)
     return wide.selectExpr(
         "n_rows",
         f"stack({len(cols)}, {stack_args}) as (col_name, _nn, n_distinct)",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import md5_int32
-from .relational import _sum_wide
+from .relational import _cents, _sum_wide
 
 
 def two_phase_totals(
@@ -47,7 +47,9 @@ def two_phase_totals(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    if "_salt" in events.columns:
+        raise ValueError("input already has a _salt column")
+    cents = _cents(value_col)
     partial = events.groupBy(
         key_col,
         F.pmod(
@@ -92,6 +94,10 @@ def salted_join(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if "_salt" in big.columns or "_salt" in dim.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would destroy it, breaking plain-join equality
+        raise ValueError("input already has a _salt column")
     salt = F.pmod(md5_int32(F.col(seq_col).cast("string")), F.lit(buckets))
     b = big.withColumn("_salt", salt)
     d = dim.withColumn(

@@ -1591,7 +1591,6 @@ def test_incremental_merge_equals_full_recompute(spark):
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
     prev_events = events.filter(F.col("ts") < cutoff)
     delta_events = events.filter(F.col("ts") >= cutoff)
-    # the split must exercise one-sided keys for the merge to be tested
     prev_keys = {r["user_id"] for r in prev_events.select("user_id").distinct().collect()}
     delta_keys = {r["user_id"] for r in delta_events.select("user_id").distinct().collect()}
     merged = {
@@ -1675,7 +1674,12 @@ def test_salted_join_equals_plain_join(spark):
     hot key (one user owning most of the big side)."""
     from html2text_spark.operators.skew import salted_join
 
-    events = spark.read.parquet(f"{SF}/events.parquet").limit(300)
+    # deterministic fixture: an unordered .limit() can return different
+    # rows across re-executions of the same subtree (review catch)
+    events = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_id") < 300
+    )
+    n_base = events.count()
     hot = events.select(
         (F.col("event_id") + 1000000).alias("event_id"),
         "ts",
@@ -1694,4 +1698,39 @@ def test_salted_join_equals_plain_join(spark):
         (r["event_id"], r["first_ts"])
         for r in big.join(dim, "user_id").collect()
     }
-    assert salted == plain and len(salted) == 600
+    assert salted == plain and len(salted) == 2 * n_base and n_base > 0
+
+
+def test_incremental_merge_one_sided_keys(spark):
+    """Keys present on only one side pass through the merge unchanged
+    (new user in delta only, idle user in prev only) -- the corpus split
+    test cannot exercise this because every user spans the cutoff."""
+    from html2text_spark.operators.incremental import merge_snapshots
+
+    schema = (
+        "user_id long, n_events long, value_cents long, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    t = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    prev = spark.createDataFrame(
+        [
+            (1, 3, 100, t("2024-01-01 09:00:00"), t("2024-01-02 10:00:00")),
+            (2, 5, 250, t("2024-01-01 08:00:00"), t("2024-01-03 11:00:00")),  # idle after
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 2, 50, t("2024-01-05 09:00:00"), t("2024-01-06 10:00:00")),
+            (9, 1, 75, t("2024-01-05 12:00:00"), t("2024-01-05 12:00:00")),  # new user
+        ],
+        schema,
+    )
+    got = {r["user_id"]: r for r in merge_snapshots(prev, delta).collect()}
+    assert set(got) == {1, 2, 9}
+    assert (got[1]["n_events"], got[1]["value_cents"]) == (5, 150)
+    assert got[1]["first_ts"] == t("2024-01-01 09:00:00")
+    assert got[1]["last_ts"] == t("2024-01-06 10:00:00")
+    # one-sided keys pass through bit-identically
+    assert (got[2]["n_events"], got[2]["value_cents"]) == (5, 250)
+    assert (got[9]["n_events"], got[9]["value_cents"]) == (1, 75)
