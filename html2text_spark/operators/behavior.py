@@ -196,6 +196,7 @@ def gapfill_daily_counts(
     events: DataFrame,
     group_col: str = "event_type",
     ts_col: str = "ts",
+    materialize: bool = False,
 ) -> DataFrame:
     """Dense daily series per group: every day in the group's observed
     [min, max] range appears, zero-filled where no events landed (the
@@ -205,16 +206,24 @@ def gapfill_daily_counts(
     Scaffold = per-group (min_day, max_day) aggregate (|groups| rows)
     exploded via sequence -- fanout is the date range, data-independent
     of row count -- then a left join of the scaffold against the daily
-    counts on the uniform (group, day) key.  The raw corpus is touched
-    exactly once, by the counts aggregate.
+    counts on the uniform (group, day) key.
+
+    Scan count, honestly: bounds are written over the daily counts, but
+    Catalyst COLLAPSES aggregate-over-aggregate back into a direct
+    min/max over the base table (verified in the plan gate), so the
+    default plan reads the corpus twice -- each pass column-pruned to
+    (group, ts) and map-side combined.  ``materialize=True`` persists
+    the tiny counts frame instead, which is the true single-scan form
+    for a 10^12-row table (the cache is |groups| x |days| rows); it is
+    off by default because a library function should not silently pin
+    executor storage.
     """
     day = F.date_trunc("day", ts_col)
     counts = events.groupBy(
         F.col(group_col).alias("grp"), day.alias("day")
     ).agg(F.count("*").alias("events"))
-    # bounds derive from the daily counts (min/max over per-day groups
-    # == min/max over rows), so the corpus really is scanned once --
-    # a second groupBy over `events` would not be CSE'd by Spark
+    if materialize:
+        counts = counts.persist()
     bounds = counts.groupBy("grp").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

@@ -341,3 +341,45 @@ def test_behavior_joins_no_forced_broadcast(spark):
             assert "BroadcastExchange" not in plan, (q, plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_gapfill_scan_shapes(spark):
+    """Default gapfill: Catalyst collapses the bounds-over-counts
+    aggregate into a direct min/max over the table, so the plan holds
+    exactly TWO column-pruned scans (ts + group only -- no value/props
+    IO).  materialize=True persists the counts and is the true
+    single-scan form: one parquet scan, both consumers read the cache."""
+    from html2text_spark.operators.behavior import gapfill_daily_counts
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(gapfill_daily_counts(events))
+    assert plan.count("Scan parquet") == 2, plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "value" not in line and "props" not in line, line
+
+    cached = gapfill_daily_counts(events, materialize=True)
+    try:
+        plan_m = _plan(cached)
+        # both consumers (bounds + join) read the cache; the FileScan
+        # only appears inside the InMemoryRelation build subtree, which
+        # executes once (the plan STRING prints it under each consumer)
+        assert plan_m.count("InMemoryTableScan") == 2, plan_m
+        assert "InMemoryRelation" in plan_m, plan_m
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_count_min_build_single_bounded_exchange(spark):
+    """CMS build is one hash aggregate keyed (row, col): exactly one
+    exchange, whose input is map-side combined to <= depth*width rows
+    per task regardless of corpus size."""
+    from html2text_spark.operators.sketches import count_min_build
+
+    words = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item"))
+    )
+    plan = _plan(count_min_build(words, "item", depth=4, width=64))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
