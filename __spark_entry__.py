@@ -1238,6 +1238,18 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: per-type Tukey fences (q1/q3 +- 1.5*IQR)
+    over exact quartiles of the integer-cents value domain, computed by
+    the bounded-memory histogram method -- flagged rows only."""
+    from html2text_spark.operators.profiling import iqr_outliers
+
+    events = _tbl(spark, sf_dir, "events").select(
+        "event_type", "event_id", R._cents("value").alias("v_cents")
+    )
+    return iqr_outliers(events, "event_type", "v_cents", "event_id")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1319,6 +1331,7 @@ def queries() -> dict[str, _Q]:
         "curation_stratified": q_curation_stratified,
         "events_incremental": q_events_incremental,
         "rel_profile": q_rel_profile,
+        "events_outliers": q_events_outliers,
         "events_attribution_stream": q_events_attribution_stream,
         "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
@@ -1783,6 +1796,32 @@ with m as (
 select doc_id, media_ref, count(*)::BIGINT as n_frames,
        max(frame_ts_ms)::BIGINT as last_frame_ms
 from f group by doc_id, media_ref
+""",
+        "events_outliers": """
+with d as (select event_type, event_id,
+           round(value * 100)::BIGINT as v_cents from events),
+ hist as (select event_type, v_cents::DOUBLE as v, count(*) as cnt
+          from d group by 1, 2),
+ c as (select event_type, v,
+       sum(cnt) over (partition by event_type order by v
+                      rows unbounded preceding) as cum,
+       sum(cnt) over (partition by event_type) as n from hist),
+ a as (select event_type, max(n) as n,
+   min(case when cum >= floor(0.25::DOUBLE*(n-1))+1 then v end) as lo0,
+   min(case when cum >= floor(0.25::DOUBLE*(n-1))+2 then v end) as hi0,
+   min(case when cum >= floor(0.75::DOUBLE*(n-1))+1 then v end) as lo1,
+   min(case when cum >= floor(0.75::DOUBLE*(n-1))+2 then v end) as hi1
+   from c group by event_type),
+ q as (select event_type,
+   lo0 + (coalesce(hi0, lo0) - lo0) * (0.25::DOUBLE*(n-1) - floor(0.25::DOUBLE*(n-1))) as p25,
+   lo1 + (coalesce(hi1, lo1) - lo1) * (0.75::DOUBLE*(n-1) - floor(0.75::DOUBLE*(n-1))) as p75
+   from a)
+select d.event_type, d.event_id, d.v_cents,
+       round(q.p25 - 1.5 * (q.p75 - q.p25), 4) as lo_fence,
+       round(q.p75 + 1.5 * (q.p75 - q.p25), 4) as hi_fence
+from d join q using (event_type)
+where d.v_cents::DOUBLE < q.p25 - 1.5 * (q.p75 - q.p25)
+   or d.v_cents::DOUBLE > q.p75 + 1.5 * (q.p75 - q.p25)
 """,
         "events_transitions": """
 with t as (

@@ -50,3 +50,48 @@ def profile_columns(df: DataFrame, cols: tuple) -> DataFrame:
         (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
         "n_distinct",
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_cents_col: str,
+    id_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: rows outside
+    [q1 - k*iqr, q3 + k*iqr] of their group's EXACT quartiles.
+
+    The robust anomaly screen data-quality pipelines run on metric
+    columns (median/IQR shrug off the very outliers a mean/stddev
+    z-score would absorb).  Quartiles come from the bounded-memory
+    histogram method (textstats.group_percentiles_exact) over the
+    integer-cents domain -- exact at any scale without buffering a
+    group's raw values -- and the |groups|-row fence frame joins back
+    stats-broadcast.  Fence arithmetic is plain IEEE (multiply, then
+    subtract/add) mirrored operation-for-operation in the oracle.
+
+    Returns (group, id, value cents, lo_fence, hi_fence) for flagged
+    rows only.
+    """
+    from .textstats import group_percentiles_exact
+
+    d = df.select(group_col, id_col, value_cents_col)
+    q = group_percentiles_exact(
+        d, value_cents_col, group_col, ps=(0.25, 0.75)
+    ).select(group_col, "p25", "p75")
+    iqr = F.col("p75") - F.col("p25")
+    lo = F.col("p25") - F.lit(k) * iqr
+    hi = F.col("p75") + F.lit(k) * iqr
+    v = F.col(value_cents_col).cast("double")
+    return (
+        d.join(q, on=group_col)
+        .filter((v < lo) | (v > hi))
+        .select(
+            group_col,
+            id_col,
+            value_cents_col,
+            F.round(lo, 4).alias("lo_fence"),
+            F.round(hi, 4).alias("hi_fence"),
+        )
+    )

@@ -1734,3 +1734,20 @@ def test_incremental_merge_one_sided_keys(spark):
     # one-sided keys pass through bit-identically
     assert (got[2]["n_events"], got[2]["value_cents"]) == (5, 250)
     assert (got[9]["n_events"], got[9]["value_cents"]) == (1, 75)
+
+
+def test_iqr_outliers_flags_planted_spikes(spark):
+    """A planted extreme value is flagged; the bulk of a tight cluster
+    is not; fences honor the k parameter."""
+    from html2text_spark.operators.profiling import iqr_outliers
+
+    rows = [("a", i, 100 + (i % 5)) for i in range(20)]  # tight cluster
+    rows += [("a", 98, 10_000), ("a", 99, -5_000)]       # two spikes
+    rows += [("b", 200 + i, 50) for i in range(10)]      # degenerate: iqr 0
+    df = spark.createDataFrame(rows, "grp string, id long, cents long")
+    got = {r["id"]: r for r in iqr_outliers(df, "grp", "cents", "id").collect()}
+    assert 98 in got and 99 in got
+    assert all(i not in got for i in range(20))
+    # group b: iqr 0 -> fences collapse to the point; no row flagged
+    assert all(i not in got for i in range(200, 210))
+    assert got[98]["lo_fence"] < 100 < got[98]["hi_fence"] < 10_000
