@@ -245,7 +245,16 @@ def main() -> int:
         "events_transitions",
         "events_gapfill",
         "events_salted_join",
+        "events_outliers",
     ]
+    # Deliberately NOT timed here (driver-gate still verifies their
+    # values every round): the five streaming twins (per-run file
+    # staging dominates their wall time), trained-KMeans sim_ivf_topk
+    # (nondeterministic fit), iterative dedup_keep_best (~2x
+    # dedup_clusters, same plan family), and a handful of sub-second
+    # projections whose cost is indistinguishable from session noise --
+    # the total bench must stay safely inside the driver's capture
+    # window (r3 lost its artifact to an oversized run).
     queries = entry_mod.queries()
 
     def _time_query(name, runs=2, max_runs=4):
