@@ -1250,6 +1250,43 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(events, "event_type", "v_cents", "event_id")
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value distribution per event type, bucketed with pure
+    int64 arithmetic (no IEEE division to mirror)."""
+    from html2text_spark.operators.profiling import value_histogram
+
+    events = _tbl(spark, sf_dir, "events").select(
+        "event_type", R._cents("value").alias("v_cents")
+    )
+    return value_histogram(events, "event_type", "v_cents", buckets=10)
+
+
+def q_events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movement on the GAP-FILLED daily series (zero
+    days participate, so a dark day shows -100%, not a missing row):
+    day-over-day absolute delta and percent change per event type."""
+    from pyspark.sql import Window
+
+    from html2text_spark.operators.behavior import gapfill_daily_counts
+
+    filled = gapfill_daily_counts(_tbl(spark, sf_dir, "events"))
+    w = Window.partitionBy("grp").orderBy("day")
+    prev = F.lag("events").over(w)
+    return filled.select(
+        "grp",
+        "day",
+        "events",
+        (F.col("events") - prev).alias("delta"),
+        F.round(
+            F.when(
+                prev > 0,
+                (F.col("events") - prev).cast("double") / prev.cast("double"),
+            ),
+            8,
+        ).alias("pct_change"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1332,6 +1369,8 @@ def queries() -> dict[str, _Q]:
         "events_incremental": q_events_incremental,
         "rel_profile": q_rel_profile,
         "events_outliers": q_events_outliers,
+        "events_histogram": q_events_histogram,
+        "events_daily_delta": q_events_daily_delta,
         "events_attribution_stream": q_events_attribution_stream,
         "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
@@ -1796,6 +1835,37 @@ with m as (
 select doc_id, media_ref, count(*)::BIGINT as n_frames,
        max(frame_ts_ms)::BIGINT as last_frame_ms
 from f group by doc_id, media_ref
+""",
+        "events_histogram": """
+with d as (select event_type, round(value * 100)::BIGINT as v from events),
+ b as (select event_type, min(v) as lo, max(v) as hi from d group by 1)
+select d.event_type, (((d.v - b.lo) * 10) // (b.hi - b.lo + 1))::INT as bucket,
+       b.lo as lo_cents, b.hi as hi_cents, count(*)::BIGINT as n
+from d join b using (event_type)
+group by 1, 2, 3, 4
+""",
+        "events_daily_delta": """
+with counts as (
+  select event_type as grp, date_trunc('day', ts) as day,
+         count(*)::BIGINT as events
+  from events group by 1, 2),
+ bounds as (
+  select event_type as grp,
+         min(date_trunc('day', ts)) as lo, max(date_trunc('day', ts)) as hi
+  from events group by 1),
+ scaffold as (
+  select grp, unnest(generate_series(lo, hi, interval 1 day)) as day
+  from bounds),
+ filled as (
+  select s.grp, s.day, coalesce(c.events, 0)::BIGINT as events
+  from scaffold s left join counts c using (grp, day))
+select grp, day, events,
+       events - lag(events) over w as delta,
+       round(case when lag(events) over w > 0
+                  then (events - lag(events) over w)::DOUBLE
+                       / (lag(events) over w)::DOUBLE end, 8) as pct_change
+from filled
+window w as (partition by grp order by day)
 """,
         "events_outliers": """
 with d as (select event_type, event_id,

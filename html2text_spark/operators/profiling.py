@@ -95,3 +95,40 @@ def iqr_outliers(
             F.round(hi, 4).alias("hi_fence"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_cents_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equal-width value histogram per group, entirely in int64.
+
+    The distribution profile behind every metrics dashboard.  Bucket
+    assignment is pure integer arithmetic -- ((v - lo) * buckets) div
+    (hi - lo + 1) -- so there is no IEEE division to mirror and the
+    result is exact in any engine; v == hi lands in the last bucket by
+    construction.  Per-group bounds are a |groups|-row aggregate joined
+    back stats-broadcast; one corpus aggregate on (group, bucket).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = F.col(value_cents_col)
+    bounds = df.groupBy(group_col).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    joined = df.select(group_col, value_cents_col).join(bounds, on=group_col)
+    bucket = F.expr(
+        f"(({value_cents_col} - _lo) * {int(buckets)}) div (_hi - _lo + 1)"
+    )
+    return (
+        joined.select(
+            group_col,
+            bucket.cast("int").alias("bucket"),
+            F.col("_lo").alias("lo_cents"),
+            F.col("_hi").alias("hi_cents"),
+        )
+        .groupBy(group_col, "bucket", "lo_cents", "hi_cents")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1751,3 +1751,23 @@ def test_iqr_outliers_flags_planted_spikes(spark):
     # group b: iqr 0 -> fences collapse to the point; no row flagged
     assert all(i not in got for i in range(200, 210))
     assert got[98]["lo_fence"] < 100 < got[98]["hi_fence"] < 10_000
+
+
+def test_value_histogram_buckets_exact(spark):
+    """Integer bucketing: edges land where int arithmetic says; v == hi
+    goes in the last bucket; counts cover all rows."""
+    from html2text_spark.operators.profiling import value_histogram
+
+    rows = [("a", v) for v in [0, 1, 5, 9, 10]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "grp string, cents long")
+    got = {
+        (r["grp"], r["bucket"]): r for r in value_histogram(df, "grp", "cents", buckets=2).collect()
+    }
+    # group a: lo=0 hi=10, domain width 11; bucket = (v*2) div 11
+    # -> {0,1,5} in bucket 0; {9,10} in bucket 1 (hi lands in the last)
+    assert got[("a", 0)]["n"] == 3
+    assert got[("a", 1)]["n"] == 2
+    total = sum(r["n"] for r in got.values() if r["grp"] == "a")
+    assert total == 5
+    # single-value group: one bucket 0 with everything
+    assert got[("b", 0)]["n"] == 1 and got[("b", 0)]["lo_cents"] == 7
