@@ -216,7 +216,10 @@ def gapfill_daily_counts(
     the tiny counts frame instead, which is the true single-scan form
     for a 10^12-row table (the cache is |groups| x |days| rows); it is
     off by default because a library function should not silently pin
-    executor storage.
+    executor storage -- with materialize=True the CALLER owns the cache
+    lifetime (the persisted frame is internal, so release it with
+    ``spark.catalog.clearCache()`` once the result is consumed, or
+    Spark's LRU eviction eventually reclaims it).
     """
     day = F.date_trunc("day", ts_col)
     counts = events.groupBy(

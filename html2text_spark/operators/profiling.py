@@ -72,11 +72,14 @@ def iqr_outliers(
     subtract/add) mirrored operation-for-operation in the oracle.
 
     Returns (group, id, value cents, lo_fence, hi_fence) for flagged
-    rows only.
+    rows only.  NULL values are never flagged and are excluded from the
+    quartiles (SQL percentile semantics).
     """
     from .textstats import group_percentiles_exact
 
-    d = df.select(group_col, id_col, value_cents_col)
+    d = df.select(group_col, id_col, value_cents_col).filter(
+        F.col(value_cents_col).isNotNull()
+    )
     q = group_percentiles_exact(
         d, value_cents_col, group_col, ps=(0.25, 0.75)
     ).select(group_col, "p25", "p75")
@@ -108,19 +111,29 @@ def value_histogram(
     The distribution profile behind every metrics dashboard.  Bucket
     assignment is pure integer arithmetic -- ((v - lo) * buckets) div
     (hi - lo + 1) -- so there is no IEEE division to mirror and the
-    result is exact in any engine; v == hi lands in the last bucket by
-    construction.  Per-group bounds are a |groups|-row aggregate joined
-    back stats-broadcast; one corpus aggregate on (group, bucket).
+    result is exact in any engine.  Bucket indices never exceed
+    buckets-1; when the value domain is narrower than the bucket count
+    the upper buckets are simply unoccupied (v == hi lands at
+    ((hi-lo)*buckets) div (hi-lo+1), the top OCCUPIED bucket).
+    Per-group bounds are a |groups|-row aggregate joined back
+    stats-broadcast; one corpus aggregate on (group, bucket).  NULL
+    values are excluded (no bucket to assign).
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    for c in (group_col, value_cents_col):
+        # names are interpolated into an expr below (same guard pattern
+        # as profile_columns): backtick-quote, reject the unquotable
+        if "`" in c:
+            raise ValueError(f"unsupported character in column name: {c!r}")
+    df = df.filter(F.col(value_cents_col).isNotNull())
     v = F.col(value_cents_col)
     bounds = df.groupBy(group_col).agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
     )
     joined = df.select(group_col, value_cents_col).join(bounds, on=group_col)
     bucket = F.expr(
-        f"(({value_cents_col} - _lo) * {int(buckets)}) div (_hi - _lo + 1)"
+        f"((`{value_cents_col}` - _lo) * {int(buckets)}) div (_hi - _lo + 1)"
     )
     return (
         joined.select(

@@ -220,6 +220,11 @@ def group_percentiles_exact(
             f"group_percentiles_exact: ps {tuple(ps)} produce duplicate "
             f"output column names {names}; use ps that differ by >= 1%"
         )
+    # NULL values are excluded, matching SQL percentile_cont/quantile
+    # semantics -- without this, Spark's NULLS-FIRST window ordering
+    # would shift every cumulative count while DuckDB sorts NULLS LAST,
+    # silently skewing the quartiles AND breaking oracle parity
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
     w_ord = (
         Window.partitionBy(group_col)
