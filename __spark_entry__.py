@@ -1287,6 +1287,32 @@ def q_events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue (three-table join, pushed filters, exact cent-percent
+    money, TakeOrderedAndProject top-k)."""
+    return R.shipping_priority(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein verification of LSH candidate pairs (the
+    character-level twin of dedup_ngram_jaccard): distance + normalized
+    similarity per candidate pair -- O(len^2) per pair, bucketed-only
+    by construction, and value-exact against DuckDB's levenshtein."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
+    )
+    corpus = docs.unionAll(near)
+    pairs = D.minhash_lsh_candidates(corpus, num_hashes=8, bands=4, k=3)
+    return D.edit_distance_verify(corpus, pairs)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster representative by QUALITY (keep-best, the
     FineWeb-style policy) rather than min doc_id: LSH pairs -> connected
@@ -1314,6 +1340,7 @@ def queries() -> dict[str, _Q]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_editdist": q_dedup_editdist,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
@@ -1382,6 +1409,7 @@ def queries() -> dict[str, _Q]:
         "rel_customer_order_ranks": q_rel_customer_order_ranks,
         "rel_supplier_balance": q_rel_supplier_balance,
         "rel_orphans": q_rel_orphans,
+        "rel_shipping_priority": q_rel_shipping_priority,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -2460,6 +2488,38 @@ select l_returnflag, l_linestatus,
   round(sum(base_cents)::DOUBLE / count(*), 6) as avg_price_cents,
   count(*) as count_order
 from li group by l_returnflag, l_linestatus
+""",
+        "rel_shipping_priority": """
+select o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT))::BIGINT as revenue_cp
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+  and o.o_orderdate < '1995-03-15'
+  and l.l_shipdate > '1995-03-15'
+group by 1, 2, 3
+order by revenue_cp desc, o.o_orderkey asc
+limit 10
+""",
+        "dedup_editdist": f"""
+with {union_near},
+{_minhash_sig_sql('docs').strip().lstrip()}
+, banded as (
+  select doc_id, unnest([{bands_sql}], recursive := true) from sig),
+ cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from banded l join banded r
+    on l.band_idx = r.band_idx and l.band_hash = r.band_hash
+   and l.doc_id < r.doc_id),
+ t as (select c.doc_a, c.doc_b, a.text as ta, b.text as tb
+       from cand c join docs a on a.doc_id = c.doc_a
+                   join docs b on b.doc_id = c.doc_b)
+select doc_a, doc_b, levenshtein(ta, tb)::INT as edit_distance,
+  round(1.0::DOUBLE - levenshtein(ta, tb)::DOUBLE
+        / greatest(length(ta), length(tb))::DOUBLE, 8) as similarity
+from t
 """,
         "rel_revenue_by_nation": """
 with dim as (select n_nationkey, n_name from nation

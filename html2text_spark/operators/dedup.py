@@ -496,3 +496,35 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def edit_distance_verify(
+    corpus: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact edit-distance verification of candidate near-dup pairs.
+
+    The character-level companion to ``ngram_jaccard_pairs``: for each
+    candidate pair, the Levenshtein distance (JVM built-in, identical
+    classic-DP semantics in DuckDB, so the oracle is value-exact) and a
+    normalized similarity 1 - dist/max_len.  O(len^2) per pair, which
+    is exactly why it runs ONLY on the LSH-bucketed candidate set --
+    never the whole corpus (the same never-all-pairs contract as the
+    Jaccard verifier).  Two uniform-key equi-joins to attach the texts.
+    """
+    a = corpus.select(
+        F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    j = pairs.join(a, on="doc_a").join(b, on="doc_b")
+    lev = F.levenshtein("_ta", "_tb")
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        lev.alias("edit_distance"),
+        F.round(
+            F.lit(1.0) - lev.cast("double") / denom.cast("double"), 8
+        ).alias("similarity"),
+    )

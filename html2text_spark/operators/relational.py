@@ -280,3 +280,38 @@ def referential_orphans(
         F.count("*").alias("orphan_rows"),
         _sum_wide(_cents(amount_col)).alias("lost_cents"),
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for a segment.
+
+    Three-table join with filters on every input pushed to the scans:
+    the customer dim prunes to one segment (broadcast when stats
+    allow), orders/lineitem join on the uniform orderkey, revenue
+    aggregates as exact integer cent-percent units, and the top-k rides
+    TakeOrderedAndProject (never a global sort of the aggregate).
+    """
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev"),
+    )
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_wide(F.col("rev")).alias("revenue_cp"))
+    )
+    return joined.orderBy(
+        F.desc("revenue_cp"), F.asc("o_orderkey")
+    ).limit(k)

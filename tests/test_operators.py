@@ -1771,3 +1771,42 @@ def test_value_histogram_buckets_exact(spark):
     assert total == 5
     # single-value group: one bucket 0 with everything
     assert got[("b", 0)]["n"] == 1 and got[("b", 0)]["lo_cents"] == 7
+
+
+def test_edit_distance_verify_known_values(spark):
+    """Known edit distances on hand pairs; identical texts similarity 1;
+    the planted tail-append pair's distance equals the appended length."""
+    from html2text_spark.operators.dedup import edit_distance_verify
+
+    corpus = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "kitten xyz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(corpus, pairs).collect()
+    }
+    assert got[(1, 2)]["edit_distance"] == 3
+    assert got[(1, 3)]["edit_distance"] == 0
+    assert got[(1, 3)]["similarity"] == 1.0
+    assert got[(1, 4)]["edit_distance"] == 4  # " xyz"
+
+
+def test_shipping_priority_topk_shape(spark):
+    """Q3 shape: <= k rows, descending revenue, deterministic tie-break,
+    and the plan is a TakeOrderedAndProject (no global sort)."""
+    from html2text_spark.operators.relational import shipping_priority
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = shipping_priority(customer, orders, lineitem, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    revs = [r["revenue_cp"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
