@@ -1329,6 +1329,25 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cluster_representatives(pairs, T.quality_score(corpus))
 
 
+def q_events_attribution_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LEFT OUTER stream-stream interval join -- the SIXTH
+    streaming family and the hardest emission contract: unmatched views
+    emit their null-extension row only after the watermark PROVES no
+    matching click can still arrive, so completion rides the far-future
+    clock trick on both input streams.  Streamed output equals the
+    batch LEFT interval join exactly."""
+    from html2text_spark.streaming.joins import attribution_outer_complete
+
+    _STREAM_QUERY_SEQ[0] += 1
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return attribution_outer_complete(
+        spark,
+        events,
+        window_minutes=120,
+        query_name=f"attribution_outer_complete_{_STREAM_QUERY_SEQ[0]}",
+    )
+
+
 def queries() -> dict[str, _Q]:
     return {
         "extract_metrics": q_extract_metrics,
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, _Q]:
         "events_histogram": q_events_histogram,
         "events_daily_delta": q_events_daily_delta,
         "events_attribution_stream": q_events_attribution_stream,
+        "events_attribution_outer_stream": q_events_attribution_outer_stream,
         "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
         "text_percentiles_approx": q_text_percentiles_approx,
@@ -2410,6 +2430,16 @@ from events v join events c
  and c.ts >= v.ts
  and c.ts < v.ts + interval 2 hours
 where v.event_type = 'view' and c.event_type = 'click'
+""",
+        "events_attribution_outer_stream": """
+select v.user_id, v.event_id as view_id, c.event_id as click_id,
+       v.ts as view_ts, c.ts as click_ts,
+       epoch_us(c.ts) - epoch_us(v.ts) as lag_us
+from (select * from events where event_type = 'view') v
+left join (select * from events where event_type = 'click') c
+  on v.user_id = c.user_id
+ and c.ts >= v.ts
+ and c.ts < v.ts + interval 2 hours
 """,
         "text_winnow": """
 with w as (select doc_id, regexp_split_to_array(trim(text), '\\s+') as words from documents),

@@ -1810,3 +1810,37 @@ def test_shipping_priority_topk_shape(spark):
     assert 0 < len(rows) <= 5
     revs = [r["revenue_cp"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_attribution_outer_stream_matches_batch(spark):
+    """Sixth streaming family: LEFT OUTER stream-stream join -- every
+    view appears exactly once per matching click OR once with null
+    click after watermark expiry; streamed == batch left interval join."""
+    from html2text_spark.streaming.joins import attribution_outer_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    streamed = attribution_outer_complete(
+        spark, events, window_minutes=120, query_name="t_attr_outer"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+        "user_id",
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("user_id").alias("cu"),
+    )
+    batch = v.join(
+        c,
+        (v["user_id"] == c["cu"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] < v["view_ts"] + F.expr("INTERVAL 120 MINUTES")),
+        "left_outer",
+    ).select("view_id", "click_id")
+    got = {(r["view_id"], r["click_id"]) for r in streamed.collect()}
+    exp = {(r["view_id"], r["click_id"]) for r in batch.collect()}
+    assert got == exp
+    assert any(cid is None for _, cid in got), "no null-extension rows"
+    assert any(cid is not None for _, cid in got), "no matched rows"
