@@ -1287,6 +1287,34 @@ def q_events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (table, key) pairs audited by rel_constraints; lineitem's l_orderkey
+#: is DELIBERATELY a non-key (the true PK is (orderkey, linenumber)) so
+#: the audit demonstrably catches a violated uniqueness contract
+CONSTRAINT_KEYS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+    "events": "event_id",
+}
+
+
+def q_rel_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation: primary-key uniqueness audit across the
+    warehouse tables (the publish gate that runs beside rel_profile's
+    null counts).  lineitem is audited on l_orderkey alone on purpose --
+    a violated contract the report must surface as is_unique = false."""
+    from html2text_spark.operators.profiling import key_constraint_audit
+
+    tables = {
+        name: (_tbl(spark, sf_dir, name), key)
+        for name, key in CONSTRAINT_KEYS.items()
+    }
+    return key_constraint_audit(tables)
+
+
 def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
     revenue (three-table join, pushed filters, exact cent-percent
@@ -1430,6 +1458,7 @@ def queries() -> dict[str, _Q]:
         "rel_supplier_balance": q_rel_supplier_balance,
         "rel_orphans": q_rel_orphans,
         "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_constraints": q_rel_constraints,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
@@ -2519,6 +2548,13 @@ select l_returnflag, l_linestatus,
   count(*) as count_order
 from li group by l_returnflag, l_linestatus
 """,
+        "rel_constraints": "\nunion all\n".join(
+            f"select '{t}' as table_name, '{k}' as key_col,\n"
+            f"       count(*)::BIGINT as n_rows,\n"
+            f"       count(distinct {k})::BIGINT as n_keys,\n"
+            f"       count(*) = count(distinct {k}) as is_unique from {t}"
+            for t, k in sorted(CONSTRAINT_KEYS.items())
+        ),
         "rel_shipping_priority": """
 select o.o_orderkey, o.o_orderdate, o.o_orderpriority,
        sum(round(l.l_extendedprice*100)::BIGINT

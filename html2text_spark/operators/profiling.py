@@ -145,3 +145,36 @@ def value_histogram(
         .groupBy(group_col, "bucket", "lo_cents", "hi_cents")
         .agg(F.count("*").alias("n"))
     )
+
+
+def key_constraint_audit(tables: dict) -> DataFrame:
+    """Primary-key contract check across tables: per (table, key), row
+    count vs distinct-key count and the verdict -- the uniqueness half
+    of a data-contract validation (the null half is profile_columns).
+
+    ``tables`` maps table name -> (DataFrame, key_col).  Each audit is
+    an independent two-aggregate scan (count + countDistinct, one
+    Expand of factor 2); results union into one report frame.  At the
+    design point each table audits in its own jobs -- no cross-table
+    shuffle exists at all.
+    """
+    if not tables:
+        raise ValueError("tables must be non-empty")
+    parts = []
+    for name, (df, key_col) in sorted(tables.items()):
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.col(key_col)).alias("n_keys"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.lit(key_col).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") == F.col("n_keys")).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

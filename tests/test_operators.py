@@ -1844,3 +1844,20 @@ def test_attribution_outer_stream_matches_batch(spark):
     assert got == exp
     assert any(cid is None for _, cid in got), "no null-extension rows"
     assert any(cid is not None for _, cid in got), "no matched rows"
+
+
+def test_key_constraint_audit_verdicts(spark):
+    """Unique key passes; a duplicated key is surfaced as violated."""
+    from html2text_spark.operators.profiling import key_constraint_audit
+
+    good = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    bad = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    got = {
+        r["table_name"]: r
+        for r in key_constraint_audit(
+            {"good": (good, "k"), "bad": (bad, "k")}
+        ).collect()
+    }
+    assert got["good"]["is_unique"] and got["good"]["n_keys"] == 3
+    assert not got["bad"]["is_unique"]
+    assert (got["bad"]["n_rows"], got["bad"]["n_keys"]) == (3, 2)
