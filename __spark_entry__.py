@@ -238,6 +238,20 @@ def q_extract_media_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a tail-perturbed near-duplicate of EVERY row
+    (doc_id + 1000000, ' extra tail words appended') -- the planted
+    near-dup corpus shared by the minhash/cluster/edit-distance
+    queries.  ONE definition: the offset and the appended literal must
+    stay in lockstep with the oracles' union_near CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
+    )
+    return docs.unionAll(near)
+
+
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus a verbatim copy of every doc_id % 3 == 0 row, so
     exact-duplicate groups actually exist (mirrored in the oracles'
@@ -261,13 +275,8 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
-    )
     return D.minhash_lsh_candidates(
-        docs.unionAll(near), num_hashes=8, bands=4, k=3
+        _near_corpus(spark, sf_dir), num_hashes=8, bands=4, k=3
     )
 
 
@@ -277,13 +286,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py::connected_components).  The step a real training
     pipeline needs after candidate generation; mirrored exactly by a
     DuckDB recursive CTE (min over the transitive closure)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
-    )
     pairs = D.minhash_lsh_candidates(
-        docs.unionAll(near), num_hashes=8, bands=4, k=3
+        _near_corpus(spark, sf_dir), num_hashes=8, bands=4, k=3
     )
     return D.resolve_clusters(pairs)
 
@@ -1331,12 +1335,7 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level twin of dedup_ngram_jaccard): distance + normalized
     similarity per candidate pair -- O(len^2) per pair, bucketed-only
     by construction, and value-exact against DuckDB's levenshtein."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
-    )
-    corpus = docs.unionAll(near)
+    corpus = _near_corpus(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(corpus, num_hashes=8, bands=4, k=3)
     return D.edit_distance_verify(corpus, pairs)
 
@@ -1347,12 +1346,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> join per-doc quality -> argmax per cluster (quality
     desc, doc_id asc).  Oracle mirrors with the recursive-CTE closure
     plus the same quality formula over the planted near-dup corpus."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
-    )
-    corpus = docs.unionAll(near)
+    corpus = _near_corpus(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(corpus, num_hashes=8, bands=4, k=3)
     return D.cluster_representatives(pairs, T.quality_score(corpus))
 
@@ -1805,7 +1799,7 @@ select * from sig
 """,
         "dedup_minhash_candidates": f"""
 with {union_near},
-{_minhash_sig_sql('docs').strip().lstrip()}
+{_minhash_sig_sql('docs').strip()}
 , banded as (
   select doc_id, unnest([{bands_sql}], recursive := true) from sig)
 select distinct l.doc_id as doc_a, r.doc_id as doc_b
@@ -1815,7 +1809,7 @@ from banded l join banded r
 """,
         "dedup_clusters": f"""
 with recursive {union_near},
-{_minhash_sig_sql('docs').strip().lstrip()}
+{_minhash_sig_sql('docs').strip()}
 , banded as (
   select doc_id, unnest([{bands_sql}], recursive := true) from sig),
  cand as (
@@ -1838,7 +1832,7 @@ from comp
 """,
         "dedup_keep_best": f"""
 with recursive {union_near},
-{_minhash_sig_sql('docs').strip().lstrip()}
+{_minhash_sig_sql('docs').strip()}
 , banded as (
   select doc_id, unnest([{bands_sql}], recursive := true) from sig),
  cand as (
@@ -2571,7 +2565,7 @@ limit 10
 """,
         "dedup_editdist": f"""
 with {union_near},
-{_minhash_sig_sql('docs').strip().lstrip()}
+{_minhash_sig_sql('docs').strip()}
 , banded as (
   select doc_id, unnest([{bands_sql}], recursive := true) from sig),
  cand as (
@@ -2583,8 +2577,10 @@ with {union_near},
        from cand c join docs a on a.doc_id = c.doc_a
                    join docs b on b.doc_id = c.doc_b)
 select doc_a, doc_b, levenshtein(ta, tb)::INT as edit_distance,
-  round(1.0::DOUBLE - levenshtein(ta, tb)::DOUBLE
-        / greatest(length(ta), length(tb))::DOUBLE, 8) as similarity
+  round(case when greatest(length(ta), length(tb)) = 0 then 1.0::DOUBLE
+             else 1.0::DOUBLE - levenshtein(ta, tb)::DOUBLE
+                  / greatest(length(ta), length(tb))::DOUBLE end,
+        8) as similarity
 from t
 """,
         "rel_revenue_by_nation": """

@@ -504,12 +504,19 @@ def edit_distance_verify(
     """Exact edit-distance verification of candidate near-dup pairs.
 
     The character-level companion to ``ngram_jaccard_pairs``: for each
-    candidate pair, the Levenshtein distance (JVM built-in, identical
-    classic-DP semantics in DuckDB, so the oracle is value-exact) and a
-    normalized similarity 1 - dist/max_len.  O(len^2) per pair, which
-    is exactly why it runs ONLY on the LSH-bucketed candidate set --
-    never the whole corpus (the same never-all-pairs contract as the
-    Jaccard verifier).  Two uniform-key equi-joins to attach the texts.
+    candidate pair, the Levenshtein distance and a normalized
+    similarity 1 - dist/max_len (1.0 when both texts are empty -- the
+    pair is trivially identical, and an unguarded division would throw
+    under Spark's ANSI mode).  O(len^2) per pair, which is exactly why
+    it runs ONLY on the LSH-bucketed candidate set -- never the whole
+    corpus (the same never-all-pairs contract as the Jaccard verifier).
+    Two uniform-key equi-joins to attach the texts.
+
+    Oracle-parity caveat: Spark's levenshtein counts CHARACTER edits,
+    DuckDB's counts BYTE edits -- identical for ASCII text (this
+    corpus, verified), divergent the moment a multi-byte character
+    appears.  The Spark semantics are the correct ones; the DuckDB
+    mirror is valid under the documented ASCII precondition.
     """
     a = corpus.select(
         F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_ta")
@@ -520,11 +527,12 @@ def edit_distance_verify(
     j = pairs.join(a, on="doc_a").join(b, on="doc_b")
     lev = F.levenshtein("_ta", "_tb")
     denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - lev.cast("double") / denom.cast("double")
+    )
     return j.select(
         "doc_a",
         "doc_b",
         lev.alias("edit_distance"),
-        F.round(
-            F.lit(1.0) - lev.cast("double") / denom.cast("double"), 8
-        ).alias("similarity"),
+        F.round(sim, 8).alias("similarity"),
     )

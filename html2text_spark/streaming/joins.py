@@ -134,11 +134,13 @@ def attribution_outer_complete(
     arrive (view_ts + window < watermark).  Completion therefore needs
     the same far-future clock trick as the sessionizer, on BOTH input
     streams (the join's effective watermark is the minimum across
-    inputs): one clock row per side, 10 days past the data horizon,
-    with negative user ids so the clock view's own null-extension row
-    is identifiable and filtered from the result.  After the no-data
-    batch the streamed output equals the batch LEFT interval join
-    exactly.
+    inputs): one clock row per side, 10 days past the data horizon.
+    The clock view's own null-extension row is identified by its
+    FABRICATED timestamp (view_ts == the future horizon, impossible for
+    real data by construction) rather than by a sentinel id -- an id
+    sentinel would silently collide with real negative or NULL user
+    ids.  After the no-data batch the streamed output equals the batch
+    LEFT interval join exactly.
     """
     from .harness import run_finite_stream2
 
@@ -163,4 +165,4 @@ def attribution_outer_complete(
         query_name,
         work_dir=work_dir,
     )
-    return out.filter(F.col("user_id") >= 0)
+    return out.filter(F.col("view_ts") < F.lit(horizon))

@@ -1779,11 +1779,12 @@ def test_edit_distance_verify_known_values(spark):
     from html2text_spark.operators.dedup import edit_distance_verify
 
     corpus = spark.createDataFrame(
-        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "kitten xyz")],
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "kitten xyz"),
+         (5, ""), (6, "")],
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "doc_a long, doc_b long"
     )
     got = {
         (r["doc_a"], r["doc_b"]): r
@@ -1793,6 +1794,9 @@ def test_edit_distance_verify_known_values(spark):
     assert got[(1, 3)]["edit_distance"] == 0
     assert got[(1, 3)]["similarity"] == 1.0
     assert got[(1, 4)]["edit_distance"] == 4  # " xyz"
+    # two empty texts: trivially identical, guarded against divide-by-zero
+    assert got[(5, 6)]["edit_distance"] == 0
+    assert got[(5, 6)]["similarity"] == 1.0
 
 
 def test_shipping_priority_topk_shape(spark):
