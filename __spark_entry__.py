@@ -1908,7 +1908,8 @@ select doc_id, media_ref, count(*)::BIGINT as n_frames,
 from f group by doc_id, media_ref
 """,
         "events_histogram": """
-with d as (select event_type, round(value * 100)::BIGINT as v from events),
+with d as (select event_type, round(value * 100)::BIGINT as v
+           from events where value is not null),
  b as (select event_type, min(v) as lo, max(v) as hi from d group by 1)
 select d.event_type, (((d.v - b.lo) * 10) // (b.hi - b.lo + 1))::INT as bucket,
        b.lo as lo_cents, b.hi as hi_cents, count(*)::BIGINT as n

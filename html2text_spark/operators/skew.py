@@ -28,6 +28,39 @@ from .dedup import md5_int32
 from .relational import _cents, _sum_wide
 
 
+def salted_partials(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    buckets: int = 16,
+) -> DataFrame:
+    """Phase 1 of ``two_phase_totals``: per-(key, salt) partials.
+
+    Exposed separately so tests can assert partition OCCUPANCY of the
+    salted exchange directly (spark_partition_id over the partials) --
+    plan-shape tests alone cannot catch a salt that degenerates to one
+    bucket (the round-1 lesson).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if "_salt" in events.columns:
+        raise ValueError("input already has a _salt column")
+    cents = _cents(value_col)
+    return events.groupBy(
+        key_col,
+        F.pmod(
+            md5_int32(F.col(seq_col).cast("string")), F.lit(buckets)
+        ).alias("_salt"),
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("_cents"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+
+
 def two_phase_totals(
     events: DataFrame,
     key_col: str = "user_id",
@@ -45,21 +78,8 @@ def two_phase_totals(
     cents (round(value*100)) through the 128-bit accumulator; min/max
     compose trivially.  Output matches the plain groupBy bit-for-bit.
     """
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
-    if "_salt" in events.columns:
-        raise ValueError("input already has a _salt column")
-    cents = _cents(value_col)
-    partial = events.groupBy(
-        key_col,
-        F.pmod(
-            md5_int32(F.col(seq_col).cast("string")), F.lit(buckets)
-        ).alias("_salt"),
-    ).agg(
-        F.count("*").alias("_n"),
-        F.sum(cents.cast("decimal(38,0)")).alias("_cents"),
-        F.min(ts_col).alias("_first"),
-        F.max(ts_col).alias("_last"),
+    partial = salted_partials(
+        events, key_col, seq_col, value_col, ts_col, buckets
     )
     return partial.groupBy(key_col).agg(
         F.sum("_n").cast("long").alias("n_events"),
@@ -87,6 +107,12 @@ def salted_join(
     dim ships buckets x |dim| rows, the classic trade.  Results equal
     the unsalted join row-for-row (the dim copy matched is identical).
 
+    A NULL ``seq_col`` would make the salt NULL and silently drop that
+    big-side row (NULL never equals any replicated dim salt) even though
+    the plain equi-join on the key alone would keep it; the salt is
+    therefore coalesced to bucket 0, preserving plain-join equality for
+    NULL sequence ids (at worst the NULL-id rows share one bucket).
+
     AQE's skew-join splitting makes this unnecessary for sort-merge
     joins it can see; the explicit form remains the tool for skew AQE
     cannot detect (post-shuffle explosions, bucketed-table joins that
@@ -98,7 +124,10 @@ def salted_join(
         # withColumn would silently REPLACE the caller's column and the
         # final drop would destroy it, breaking plain-join equality
         raise ValueError("input already has a _salt column")
-    salt = F.pmod(md5_int32(F.col(seq_col).cast("string")), F.lit(buckets))
+    salt = F.coalesce(
+        F.pmod(md5_int32(F.col(seq_col).cast("string")), F.lit(buckets)),
+        F.lit(0),
+    )
     b = big.withColumn("_salt", salt)
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

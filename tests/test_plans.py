@@ -383,3 +383,119 @@ def test_count_min_build_single_bounded_exchange(spark):
     plan = _plan(count_min_build(words, "item", depth=4, width=64))
     assert plan.count("Exchange") == 1, plan
     assert "HashAggregate" in plan
+
+
+def _hot_key_corpus(spark, n=40000, hot_key=42):
+    """Planted-skew corpus: one key owns 50% of the rows (every even
+    id), the rest are unique keys.  Deterministic, no RNG."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, hot_key)
+        .otherwise(F.col("id") + 1000)
+        .cast("long")
+        .alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        (F.pmod(F.col("id"), 97) / 10.0).alias("value"),
+    )
+
+
+def _no_aqe_coalesce(spark):
+    """Tiny corpora get AQE-coalesced into one post-shuffle partition,
+    which would mask the occupancy being asserted; disable for the test
+    and restore after."""
+    return spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+
+
+def test_two_phase_agg_spreads_hot_key_across_tasks(spark):
+    """Partition occupancy of the salted phase-1 exchange: the planted
+    hot key's partials must land in >= buckets/2 distinct shuffle
+    partitions (plan-shape tests can't see a salt that degenerates)."""
+    from html2text_spark.operators.skew import salted_partials, two_phase_totals
+
+    prev = _no_aqe_coalesce(spark)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        events = _hot_key_corpus(spark)
+        buckets = 16
+        partials = salted_partials(events, buckets=buckets).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        hot = [r for r in partials.collect() if r["user_id"] == 42]
+        # 20k hot rows over 16 md5 salts: every salt is hit
+        assert len({r["_salt"] for r in hot}) == buckets, sorted(
+            r["_salt"] for r in hot
+        )
+        # balls-in-bins: 16 salted groups into 32 shuffle partitions
+        # must occupy at least half the bucket count of distinct tasks
+        pids = {r["pid"] for r in hot}
+        assert len(pids) >= buckets // 2, f"hot key partials in {len(pids)} tasks"
+        # and the merged output still equals the plain groupBy
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in two_phase_totals(events, buckets=buckets).collect()
+        }
+        assert got[42] == 20000
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+
+def test_salted_join_spreads_hot_key_across_tasks(spark):
+    """The salted join's output rows for the planted hot key span many
+    shuffle partitions, while the plain equi-join concentrates them in
+    exactly one task -- the defusal the operator exists for."""
+    from html2text_spark.operators.skew import salted_join
+
+    prev = _no_aqe_coalesce(spark)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # a broadcast dim join would have no shuffle to salt; force the
+    # shuffle path the operator targets (bucketed/huge dims at scale)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = _hot_key_corpus(spark)
+        dim = big.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        buckets = 8
+        salted_pids = {
+            r["pid"]
+            for r in salted_join(big, dim, "user_id", "event_id", buckets=buckets)
+            .withColumn("pid", F.spark_partition_id())
+            .filter(F.col("user_id") == 42)
+            .select("pid")
+            .distinct()
+            .collect()
+        }
+        assert len(salted_pids) >= buckets // 2, (
+            f"hot key join output in {len(salted_pids)} tasks"
+        )
+        plain_pids = {
+            r["pid"]
+            for r in big.join(dim, "user_id")
+            .withColumn("pid", F.spark_partition_id())
+            .filter(F.col("user_id") == 42)
+            .select("pid")
+            .distinct()
+            .collect()
+        }
+        assert len(plain_pids) == 1, f"plain join spread? {plain_pids}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_salted_join_keeps_null_seq_rows(spark):
+    """A NULL sequence id must not drop the row (ADVICE r4): the salt
+    coalesces to bucket 0, preserving plain-join equality."""
+    from html2text_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, None, "a"), (1, 10, "b"), (2, None, "c")],
+        "user_id long, event_id long, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "user_id long, seg string"
+    )
+    got = {
+        (r["user_id"], r["tag"], r["seg"])
+        for r in salted_join(big, dim, "user_id", "event_id", buckets=4).collect()
+    }
+    assert got == {(1, "a", "x"), (1, "b", "x"), (2, "c", "y")}
