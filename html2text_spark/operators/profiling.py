@@ -52,6 +52,29 @@ def profile_columns(df: DataFrame, cols: tuple) -> DataFrame:
     )
 
 
+def profile_columns_sampled(
+    df: DataFrame,
+    cols: tuple,
+    id_col: str,
+    pct: int = 10,
+) -> DataFrame:
+    """The 100 TB profile variant documented above: exact per-column
+    stats over a DETERMINISTIC md5 hash sample of the rows.
+
+    ``approx_count_distinct`` would also kill the Expand factor, but its
+    HLL estimates are engine-specific (never oracle-exact); the hash
+    sample keeps full value parity -- the sample membership is a pure
+    function of the id, so DuckDB profiles the identical subset.  The
+    Expand replication still happens but over pct% of the input, and the
+    sampling filter is evaluated at the scan (no extra pass).  Reported
+    counts describe the sample (n_rows == sample size), the standard
+    contract for sampled ANALYZE.
+    """
+    from .curation import hash_sample
+
+    return profile_columns(hash_sample(df, pct, id_col=id_col), cols)
+
+
 def iqr_outliers(
     df: DataFrame,
     group_col: str,
