@@ -1396,6 +1396,53 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    lines in 1996Q1 (two fact-fact shuffle joins on uniform keys,
+    broadcast nation dim, exact cent-percent money)."""
+    return R.returned_item_report(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_rel_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lines shipped >60 days past order date, high- vs
+    low-priority conditional counts per return flag."""
+    return R.late_lines_by_flag(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_rel_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer count by number of non-urgent orders,
+    zero bucket included via the left outer join."""
+    return R.customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-20 orders by total line quantity (HAVING
+    pre-aggregation on lineitem alone, tiny survivor set joins dims)."""
+    return R.large_volume_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_rel_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    since 2000, per nation -- integer cross-multiplied threshold (no
+    float division), one-row broadcast global aggregate, LeftAnti join."""
+    return R.dormant_rich_customers(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein verification of LSH candidate pairs (the
     character-level twin of dedup_ngram_jaccard): distance + normalized
@@ -1489,6 +1536,11 @@ def queries() -> dict[str, _Q]:
         "multimodal_framesample": q_multimodal_framesample,
         # -- new in r5 (keep inside the first 50) --
         "rel_profile_approx": q_rel_profile_approx,
+        "rel_returned_items": q_rel_returned_items,
+        "rel_late_lines": q_rel_late_lines,
+        "rel_cust_distribution": q_rel_cust_distribution,
+        "rel_large_orders": q_rel_large_orders,
+        "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r3 families (local gate) --
         "extract_markdown": q_extract_markdown,
         "dedup_exact": q_dedup_exact,
@@ -2671,6 +2723,71 @@ where c.c_mktsegment = 'BUILDING'
 group by 1, 2, 3
 order by revenue_cp desc, o.o_orderkey asc
 limit 10
+""",
+        "rel_returned_items": """
+select c.c_custkey, c.c_name,
+       round(c.c_acctbal*100)::BIGINT as acctbal_cents, n.n_name,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT))::BIGINT as revenue_cp
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+where l.l_returnflag = 'R'
+  and o.o_orderdate >= '1996-01-01' and o.o_orderdate < '1996-04-01'
+group by 1, 2, 3, 4
+order by revenue_cp desc, c.c_custkey asc
+limit 20
+""",
+        "rel_late_lines": """
+select l.l_returnflag,
+       sum(case when o.o_orderpriority in ('1-URGENT','2-HIGH')
+                then 1 else 0 end)::BIGINT as high_priority_lines,
+       sum(case when o.o_orderpriority in ('1-URGENT','2-HIGH')
+                then 0 else 1 end)::BIGINT as low_priority_lines
+from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+where l.l_shipdate > o.o_orderdate + interval 60 day
+group by 1 order by 1
+""",
+        "rel_cust_distribution": """
+with per_cust as (
+  select c.c_custkey, count(o.o_orderkey)::BIGINT as c_count
+  from customer c
+  left join orders o on c.c_custkey = o.o_custkey
+                    and o.o_orderpriority <> '1-URGENT'
+  group by 1)
+select c_count, count(*)::BIGINT as custdist
+from per_cust group by 1
+order by custdist desc, c_count desc
+""",
+        "rel_large_orders": """
+with big as (
+  select l_orderkey, sum(round(l_quantity)::BIGINT)::BIGINT as total_qty
+  from lineitem group by 1 having total_qty > 250)
+select c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice*100)::BIGINT as totalprice_cents, b.total_qty
+from big b
+join orders o on b.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+order by b.total_qty desc, o.o_orderkey asc
+limit 20
+""",
+        "rel_dormant_rich": """
+with c as (
+  select c_custkey, c_nationkey,
+         round(c_acctbal*100)::BIGINT as acctbal_cents
+  from customer),
+ pos as (
+  select count(*)::BIGINT as n_pos, sum(acctbal_cents)::BIGINT as sum_pos_cents
+  from c where acctbal_cents > 0),
+ recent as (
+  select distinct o_custkey from orders where o_orderdate >= '2000-01-01')
+select c.c_nationkey, count(*)::BIGINT as n_customers,
+       sum(c.acctbal_cents)::BIGINT as total_acctbal_cents
+from c, pos
+where c.acctbal_cents * pos.n_pos > pos.sum_pos_cents
+  and c.c_custkey not in (select o_custkey from recent)
+group by 1 order by 1
 """,
         "dedup_editdist": f"""
 with {union_near},

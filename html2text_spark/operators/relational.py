@@ -315,3 +315,187 @@ def shipping_priority(
     return joined.orderBy(
         F.desc("revenue_cp"), F.asc("o_orderkey")
     ).limit(k)
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter.
+
+    lineitem is pre-filtered to returned lines (pushed to the scan) and
+    orders to the quarter before the fact-fact shuffle joins on their
+    uniform keys; the nation dim rides a broadcast.  Revenue is exact
+    cent-percent, the account balance an exact-cents scalar, and the
+    top-k sorts only the per-customer aggregate via
+    TakeOrderedAndProject.
+    """
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_cp"
+        ),
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.select(
+        "c_custkey", "c_name", "c_nationkey", _cents("c_acctbal").alias("acctbal_cents")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(_sum_wide(F.col("rev_cp")).alias("revenue_cp"))
+    )
+    return joined.orderBy(F.desc("revenue_cp"), F.asc("c_custkey")).limit(k)
+
+
+def late_lines_by_flag(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    grace_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape: lines shipped more than ``grace_days`` past
+    their order date, split into high- vs low-priority counts per
+    return flag.
+
+    One fact-fact join on the uniform orderkey with the lateness
+    predicate applied at the join output and the priority CASE folded
+    into two conditional sums -- the classic shipping-mode exception
+    report re-keyed to columns this warehouse carries (no l_shipmode /
+    l_receiptdate in the corpus schema).
+    """
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate")
+    late = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"interval {int(grace_days)} days")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_priority_lines"),
+            F.sum((~high).cast("long")).alias("low_priority_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    excluded_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING the zero-order bucket.
+
+    The left outer join is what distinguishes this from a plain
+    groupBy -- customers with no qualifying orders must surface as
+    c_count = 0.  Two aggregations: per-customer counts (shuffle on the
+    uniform custkey), then the |distinct counts|-sized distribution.
+    """
+    o = orders.filter(F.col("o_orderpriority") != excluded_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 250,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: top-k largest orders by total line quantity.
+
+    The HAVING pre-aggregation runs on lineitem alone (map-side
+    combined, shuffle on the uniform orderkey) and only the tiny
+    qualifying set joins orders and customer -- never the full fact
+    cross section.  Quantities are exact integers; the top-k rides
+    TakeOrderedAndProject.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    o = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        _cents("o_totalprice").alias("totalprice_cents"),
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "totalprice_cents", "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average
+    customers with no recent orders.
+
+    The average-balance threshold is applied as an exact integer
+    cross-multiplication (acctbal_cents * n_positive > sum_positive_cents)
+    so no float division ever happens -- bit-reproducible at any
+    parallelism and trivially oracle-mirrorable.  The global (count,
+    sum) pair is a one-row broadcast; recent purchasers leave via a
+    LeftAnti join on the uniform custkey.
+    """
+    c = customer.select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("acctbal_cents")
+    )
+    pos = c.filter(F.col("acctbal_cents") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum("acctbal_cents").alias("sum_pos_cents"),
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(since)).select(
+        "o_custkey"
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("acctbal_cents") * F.col("n_pos") > F.col("sum_pos_cents")
+    )
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("acctbal_cents").alias("total_acctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1865,3 +1865,67 @@ def test_key_constraint_audit_verdicts(spark):
     assert got["good"]["is_unique"] and got["good"]["n_keys"] == 3
     assert not got["bad"]["is_unique"]
     assert (got["bad"]["n_rows"], got["bad"]["n_keys"]) == (3, 2)
+
+
+def test_customer_order_distribution_includes_zero_bucket(spark):
+    """Q13's defining property: every customer is counted exactly once,
+    including those with no qualifying orders (left outer join)."""
+    from html2text_spark.operators.relational import customer_order_distribution
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dist = customer_order_distribution(customer, orders).collect()
+    assert sum(r["custdist"] for r in dist) == customer.count()
+    # excluding ALL orders must put every customer in the zero bucket
+    none = customer_order_distribution(
+        customer, orders.filter(F.lit(False))
+    ).collect()
+    assert len(none) == 1 and none[0]["c_count"] == 0
+    assert none[0]["custdist"] == customer.count()
+
+
+def test_large_volume_orders_threshold_and_order(spark):
+    from html2text_spark.operators.relational import large_volume_orders
+
+    rows = large_volume_orders(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        min_qty=150,
+        k=10,
+    ).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["total_qty"] > 150 for r in rows)
+    qtys = [r["total_qty"] for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+
+
+def test_dormant_rich_customers_threshold_exact(spark):
+    """The integer cross-multiplied threshold equals the float-average
+    comparison, and no counted customer ordered since the cutoff."""
+    from html2text_spark.operators.relational import dormant_rich_customers
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    since = "2000-01-01"
+    got = dormant_rich_customers(customer, orders, since=since).collect()
+    cents = [
+        (r["c_custkey"], r["c_nationkey"], round(r["c_acctbal"] * 100))
+        for r in customer.collect()
+    ]
+    pos = [c for _, _, c in cents if c > 0]
+    recent = {
+        r["o_custkey"]
+        for r in orders.filter(F.col("o_orderdate") >= since)
+        .select("o_custkey").distinct().collect()
+    }
+    expect = {}
+    for key, nat, c in cents:
+        if c * len(pos) > sum(pos) and key not in recent:
+            n, tot = expect.get(nat, (0, 0))
+            expect[nat] = (n + 1, tot + c)
+    assert {
+        r["c_nationkey"]: (r["n_customers"], r["total_acctbal_cents"])
+        for r in got
+    } == expect
+    assert expect, "fixture should produce at least one dormant-rich nation"

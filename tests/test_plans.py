@@ -499,3 +499,38 @@ def test_salted_join_keeps_null_seq_rows(spark):
         for r in salted_join(big, dim, "user_id", "event_id", buckets=4).collect()
     }
     assert got == {(1, "a", "x"), (1, "b", "x"), (2, "c", "y")}
+
+
+def test_returned_items_broadcasts_nation_only(spark):
+    """Q10 plan: nation rides a broadcast; the fact-fact joins shuffle;
+    the top-k compiles to TakeOrderedAndProject (no global sort)."""
+    from html2text_spark.operators.relational import returned_item_report
+
+    df = returned_item_report(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # returned-lines filter is pushed to the lineitem scan
+    assert "PushedFilters" in plan and "l_returnflag" in plan, plan
+
+
+def test_large_volume_orders_preaggregates_lineitem(spark):
+    """Q18 plan: the quantity HAVING runs on lineitem BEFORE any join
+    (partial_sum below the orderkey exchange) and the top-k is
+    TakeOrderedAndProject."""
+    from html2text_spark.operators.relational import large_volume_orders
+
+    plan = _plan(
+        large_volume_orders(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/lineitem.parquet"),
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
