@@ -1396,6 +1396,37 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over deterministically messy synthetic URLs:
+    every doc pair (2k, 2k+1) carries two variants of one page (case,
+    default port, tracking params, param order, trailing slash,
+    fragment) that must collapse to a single canonical key."""
+    from html2text_spark.operators.curation import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    k = F.expr("cast(doc_id as bigint) div 2").cast("string")
+    url = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("http://example.com/p"), k, F.lit("?a=1&b=2")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://EXAMPLE.com:80/p"), k,
+            F.lit("/?b=2&utm_source=x&a=1#frag"),
+        )
+    )
+    return url_dedup(docs.select(did.alias("doc_id"), url.alias("url")))
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-20 for a fixed term set: per-doc tf projection,
+    ONE corpus-stats aggregate broadcast back, ratio idf (no libm log --
+    bit-reproducible), expression-chain score, TakeOrderedAndProject."""
+    from html2text_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returned
     lines in 1996Q1 (two fact-fact shuffle joins on uniform keys,
@@ -1536,6 +1567,8 @@ def queries() -> dict[str, _Q]:
         "multimodal_framesample": q_multimodal_framesample,
         # -- new in r5 (keep inside the first 50) --
         "rel_profile_approx": q_rel_profile_approx,
+        "text_bm25": q_text_bm25,
+        "curation_url_dedup": q_curation_url_dedup,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
@@ -1851,6 +1884,30 @@ select qid, vec_id, sim,
        row_number() over (partition by qid order by sim desc, vec_id asc) as rank
 from sims qualify rank <= 5
 """
+
+    # BM25: tf/df/score expressions mirrored operation-for-operation
+    # (ratio idf, fixed-order expression-chain sum -- see bm25_topk)
+    bm_terms = T.BM25_TERMS
+    bm_tfs = ",\n         ".join(
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"w -> w = '{t}'))::BIGINT as tf{i}"
+        for i, t in enumerate(bm_terms)
+    )
+    bm_dfs = ", ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end)::BIGINT as df{i}"
+        for i in range(len(bm_terms))
+    )
+    bm_score = "\n  + ".join(
+        f"(((g.n_docs::DOUBLE - g.df{i} + 0.5) / (g.df{i}::DOUBLE + 0.5))"
+        f" * (s.tf{i}::DOUBLE * {T.BM25_K1 + 1.0!r})"
+        f" / (s.tf{i}::DOUBLE + {T.BM25_K1!r} * ({1.0 - T.BM25_B!r}"
+        f" + {T.BM25_B!r} * (s.doclen::DOUBLE * g.n_docs / g.sum_len))))"
+        for i in range(len(bm_terms))
+    )
+    bm_out = ", ".join(
+        f"s.tf{i} as tf_{t}" for i, t in enumerate(bm_terms)
+    )
+    bm_any = " or ".join(f"s.tf{i} > 0" for i in range(len(bm_terms)))
 
     union_exact = """
 docs as (select doc_id, text from documents
@@ -2723,6 +2780,51 @@ where c.c_mktsegment = 'BUILDING'
 group by 1, 2, 3
 order by revenue_cp desc, o.o_orderkey asc
 limit 10
+""",
+        "curation_url_dedup": """
+with u as (
+  select doc_id,
+    case when doc_id % 2 = 0
+      then 'http://example.com/p' || (doc_id // 2)::VARCHAR || '?a=1&b=2'
+      else 'HTTP://EXAMPLE.com:80/p' || (doc_id // 2)::VARCHAR
+           || '/?b=2&utm_source=x&a=1#frag'
+    end as url
+  from documents),
+ q as (
+  select doc_id, url,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      p -> not starts_with(p, 'utm_') and p <> '')), '&') as qs
+  from u),
+ c as (
+  select doc_id,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+    || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                      ':(80|443)$', '')
+    || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                      '/$', '')
+    || case when qs <> '' then '?' || qs else '' end as canonical_url
+  from q)
+select canonical_url, count(*)::BIGINT as n_variants,
+       min(doc_id)::BIGINT as canonical_id
+from c group by 1
+""",
+        "text_bm25": f"""
+with s as (
+  select doc_id,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT as doclen,
+         {bm_tfs}
+  from documents),
+ g as (
+  select count(*)::BIGINT as n_docs, sum(doclen)::BIGINT as sum_len,
+         {bm_dfs}
+  from s)
+select s.doc_id, s.doclen, {bm_out},
+  {bm_score} as score
+from s, g
+where {bm_any}
+order by score desc, s.doc_id asc
+limit 20
 """,
         "rel_returned_items": """
 select c.c_custkey, c.c_name,

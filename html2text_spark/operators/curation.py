@@ -302,3 +302,52 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(pct))
         ).otherwise(rate)
     return df.filter(_hash_pct(F.col(id_col), salt) < rate)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for web-scale dedup keys.
+
+    Crawl frontiers and CommonCrawl-style dedup treat URL variants
+    (scheme/host case, default ports, tracking params, param order,
+    trailing slash, fragments) as one page.  Steps, all pure codegen
+    string/array expressions mirrored in the SQL oracle:
+
+      scheme + host lowercased; :80/:443 default ports stripped;
+      fragment dropped; query params split, utm_* tracking params and
+      empties removed, remainder binary-sorted and rejoined; trailing
+      path slash trimmed (root path normalizes to '').
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != F.lit("")),
+        )
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by canonical URL: variant count + canonical doc
+    (min id).  One uniform-key shuffle on the canonical string; the
+    canonicalization itself is a pure projection evaluated map-side."""
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )

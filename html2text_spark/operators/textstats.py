@@ -407,3 +407,86 @@ def filter_verdicts(df: DataFrame, text_col: str = "text") -> DataFrame:
         (reasons == "").alias("kept"),
         reasons.alias("reasons"),
     )
+
+
+#: fixed ad-hoc search terms for the BM25 demo query (corpus vocabulary)
+BM25_TERMS = ("spark", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple = BM25_TERMS,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance top-k over whitespace words -- the lexical ranking
+    stage of a retrieval/decontamination pipeline.
+
+    Two passes, both scale-shaped: (1) a per-document projection derives
+    doclen and per-term tfs (pure codegen, no shuffle); (2) ONE global
+    aggregate produces the corpus statistics (N, total length, per-term
+    document frequencies) as a single row that joins back via broadcast.
+    Scoring then happens in a projection and only term-matching documents
+    reach the TakeOrderedAndProject top-k -- the corpus is never sorted.
+
+    Determinism: the classic ``ln``-based idf is avoided because libm
+    logs are not guaranteed bit-identical across engines; the raw
+    Robertson idf ratio (N - df + 0.5)/(df + 0.5) keeps the same
+    monotonicity using only IEEE +,*,/ mirrored operation-for-operation
+    in the oracle, and the per-term scores are added in fixed term order
+    (a float sum over a GROUP would be shuffle-order-dependent; an
+    expression chain is not).
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be non-empty and unique")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    proj = [F.col("doc_id"), F.size(words).cast("long").alias("doclen")]
+    for i, t in enumerate(terms):
+        proj.append(
+            F.size(F.filter(words, lambda w: w == F.lit(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+        )
+    s = df.select(*proj)
+    g = s.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("sum_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = s.join(F.broadcast(g))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df{i}") + F.lit(0.5)
+        ) / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+        # doclen/avglen as len*N/sum_len: one division, same on both engines
+        norm_len = (
+            F.col("doclen").cast("double") * F.col("n_docs") / F.col("sum_len")
+        )
+        part = (
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * norm_len))
+        )
+        score = part if score is None else score + part
+    any_hit = None
+    for i in range(len(terms)):
+        hit = F.col(f"tf{i}") > 0
+        any_hit = hit if any_hit is None else any_hit | hit
+    return (
+        scored.filter(any_hit)
+        .select(
+            "doc_id",
+            "doclen",
+            *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

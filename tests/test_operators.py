@@ -1929,3 +1929,20 @@ def test_dormant_rich_customers_threshold_exact(spark):
         for r in got
     } == expect
     assert expect, "fixture should produce at least one dormant-rich nation"
+
+
+def test_canonical_url_edge_cases(spark):
+    from html2text_spark.operators.curation import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/A/B?z=1&a=2", "https://example.com/A/B?a=2&z=1"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("http://example.com/", "http://example.com"),
+        ("http://example.com/x?utm_source=a&utm_medium=b", "http://example.com/x"),
+        ("http://example.com/x#frag", "http://example.com/x"),
+        ("http://example.com/x?", "http://example.com/x"),
+        ("http://EXAMPLE.com:80/x/?b=2&a=1", "http://example.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
