@@ -1396,6 +1396,53 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_NATION = "NATION_7"
+
+
+def q_rel_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter audit: build a ~words-row bloom over
+    one nation's customer keys, probe the distinct order custkeys as a
+    pure projection (no shuffle on the probe side), and report every
+    passing key with its exact-membership verdict -- false positives
+    are a deterministic function of the md5 bit math, so even they are
+    oracle-exact.  The cross-job form of Spark's runtime bloom join
+    pruning (yesterday's key set filtering today's facts)."""
+    from html2text_spark.operators.sketches import bloom_build, bloom_probe
+
+    customer = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    orders = _tbl(spark, sf_dir, "orders")
+    dim = customer.join(
+        F.broadcast(nation.filter(F.col("n_name") == BLOOM_NATION)),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey")
+    probed = bloom_probe(
+        orders.select("o_custkey").distinct(), bloom, "o_custkey"
+    )
+    member = dim.select(
+        F.col("c_custkey").alias("_mk"), F.lit(True).alias("_is_m")
+    )
+    return (
+        probed.filter(F.col("bloom_pass"))
+        .join(F.broadcast(member), F.col("o_custkey") == F.col("_mk"), "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("_is_m", F.lit(False)).alias("is_member"),
+            (~F.coalesce("_is_m", F.lit(False))).alias("false_positive"),
+        )
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type: |z| > 2 against the
+    type's mean hourly count -- exact-integer moments, one sqrt/divide
+    at the end (bit-reproducible), |types|-row stats broadcast."""
+    from html2text_spark.operators.profiling import count_anomalies
+
+    return count_anomalies(_tbl(spark, sf_dir, "events"))
+
+
 def q_curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically messy synthetic URLs:
     every doc pair (2k, 2k+1) carries two variants of one page (case,
@@ -1569,6 +1616,8 @@ def queries() -> dict[str, _Q]:
         "rel_profile_approx": q_rel_profile_approx,
         "text_bm25": q_text_bm25,
         "curation_url_dedup": q_curation_url_dedup,
+        "events_anomaly": q_events_anomaly,
+        "rel_bloom_prefilter": q_rel_bloom_prefilter,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
@@ -2780,6 +2829,54 @@ where c.c_mktsegment = 'BUILDING'
 group by 1, 2, 3
 order by revenue_cp desc, o.o_orderkey asc
 limit 10
+""",
+        "rel_bloom_prefilter": f"""
+with dim as (
+  select c_custkey from customer c
+  join nation n on c.c_nationkey = n.n_nationkey
+  where n.n_name = '{BLOOM_NATION}'),
+ ii as (select unnest([0, 1, 2]) as i),
+ mask as (
+  select p // 32 as word_idx, bit_or(1::BIGINT << (p % 32)::INT) as word
+  from (
+    select {_MD5INT.format(expr="c_custkey::VARCHAR || '#' || i::VARCHAR")}
+           % 2048 as p
+    from dim cross join ii)
+  group by 1),
+ probe as (select distinct o_custkey from orders),
+ pp as (
+  select o_custkey,
+         {_MD5INT.format(expr="o_custkey::VARCHAR || '#' || i::VARCHAR")}
+         % 2048 as p
+  from probe cross join ii),
+ hits as (
+  select pp.o_custkey
+  from pp join mask on pp.p // 32 = mask.word_idx
+  where ((mask.word >> (pp.p % 32)::INT) & 1) = 1
+  group by pp.o_custkey having count(*) = 3)
+select h.o_custkey as custkey,
+       (d.c_custkey is not null) as is_member,
+       (d.c_custkey is null) as false_positive
+from hits h left join dim d on h.o_custkey = d.c_custkey
+""",
+        "events_anomaly": """
+with b as (
+  select event_type, date_trunc('hour', ts) as bucket,
+         count(*)::BIGINT as cnt
+  from events group by 1, 2),
+ s as (
+  select event_type, count(*)::BIGINT as h, sum(cnt)::BIGINT as s1,
+         sum(cnt*cnt)::BIGINT as s2
+  from b group by 1),
+ j as (
+  select b.event_type, b.bucket, b.cnt,
+         (b.cnt * s.h - s.s1)::DOUBLE
+           / (s.h::DOUBLE * sqrt((s.s2 * s.h - s.s1 * s.s1)::DOUBLE
+                                 / (s.h * (s.h - 1))::DOUBLE)) as z
+  from b join s using (event_type)
+  where s.h > 1 and s.s2 * s.h > s.s1 * s.s1)
+select event_type, bucket, cnt, round(z, 8) as z
+from j where abs(z) > 2
 """,
         "curation_url_dedup": """
 with u as (

@@ -201,3 +201,50 @@ def key_constraint_audit(tables: dict) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def count_anomalies(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly screen: hourly event-count buckets whose z-score
+    against their group's mean hourly volume exceeds ``z_thresh``.
+
+    The moments pipeline is exact-integer until the last step: per-
+    (group, hour) counts, then per-group (H, sum, sum of squares) --
+    all int64 -- so mean/variance never see a shuffle-order-dependent
+    float sum.  The z-score is algebraically rearranged to keep its
+    numerator integer, z = (c*H - S1) / (H * sqrt(var)) with
+    var = (S2*H - S1^2) / (H*(H-1)): one sqrt (IEEE-correctly-rounded,
+    bit-identical across engines), one multiply, one divide --
+    mirrored operation-for-operation in the oracle.
+
+    Statistics run over OBSERVED hours only (empty hours are a gapfill
+    concern -- compose with gapfill_daily_counts for dense series).
+    The per-group stats frame is |groups|-sized, a genuine broadcast
+    dimension.  Groups need H >= 2 and nonzero variance to score.
+    """
+    b = df.groupBy(
+        group_col, F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    s = b.groupBy(group_col).agg(
+        F.count("*").alias("h"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = b.join(F.broadcast(s), group_col)
+    var = (
+        (F.col("s2") * F.col("h") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("h") * (F.col("h") - F.lit(1))).cast("double")
+    )
+    z = (F.col("cnt") * F.col("h") - F.col("s1")).cast("double") / (
+        F.col("h").cast("double") * F.sqrt(var)
+    )
+    return (
+        j.filter((F.col("h") > 1) & (F.col("s2") * F.col("h") > F.col("s1") * F.col("s1")))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_thresh)
+        .select(group_col, "bucket", "cnt", F.round("z", 8).alias("z"))
+    )

@@ -164,3 +164,103 @@ def count_min_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    words: int = 64,
+    bits_per_word: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter over a key set, as a words-row (word_idx, word)
+    bitmask table -- the FOURTH mergeable sketch family.
+
+    Each key sets k bits at md5(key || '#i') mod (words*bits_per_word)
+    (the count-min addressing convention), OR-folded per 64-bit-capable
+    word with ``bit_or``.  Pure md5 integer arithmetic: DuckDB builds
+    the bit-identical mask, so membership verdicts -- INCLUDING the
+    false positives, which are a deterministic function of the key set
+    -- are oracle-exact.  Bits stay below bit 62 (bits_per_word <= 32
+    by default), clear of the int64 sign.
+
+    Scale shape: explode(k) -> ONE hash aggregate whose output is at
+    most ``words`` rows regardless of key-set size (map-side combined).
+    Blooms over shards merge by OR-ing word rows (same grouped bit_or).
+    The classic use is join pre-filtering: ship the words-row mask to
+    the fact side and drop non-matching rows BEFORE the shuffle --
+    Spark's runtime InBloomFilter does this transparently for joins
+    Catalyst can see, but an explicit persistent bloom covers the
+    cross-job case (yesterday's key set filtering today's stream).
+    """
+    if words < 1 or k < 1 or not (1 <= bits_per_word <= 32):
+        raise ValueError("bloom_build: invalid (words, bits_per_word, k)")
+    m = words * bits_per_word
+    key = F.col(key_col).cast("string")
+    pos = [
+        F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m))
+        for i in range(k)
+    ]
+    exploded = keys.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (p / F.lit(bits_per_word)).cast("long").alias("word_idx"),
+                    # shiftleft's Python wrapper only takes an int shift;
+                    # the SQL function accepts a column
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, F.lit(bits_per_word)).cast("int"),
+                    ).alias("bit"),
+                )
+                for p in pos
+            ])
+        ).alias("wb")
+    )
+    return (
+        exploded.groupBy(F.col("wb.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("wb.bit")).alias("word"))
+    )
+
+
+def bloom_probe(
+    facts: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    words: int = 64,
+    bits_per_word: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Membership verdict per fact row against a ``bloom_build`` mask.
+
+    The mask is folded into ONE map row and cross-joined broadcast, so
+    the probe is a pure projection on the fact side -- no explode, no
+    shuffle, no per-row Python: k static map lookups + bit tests in
+    codegen.  Adds a boolean ``bloom_pass`` column ('no' is definitive;
+    'yes' may be a false positive at the documented rate).
+    """
+    m = words * bits_per_word
+    mask = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bloom")
+    )
+    key = F.col(key_col).cast("string")
+    test = None
+    for i in range(k):
+        pos = F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m))
+        widx = (pos / F.lit(bits_per_word)).cast("long")
+        bit = F.pmod(pos, F.lit(bits_per_word)).cast("int")
+        hit = (
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.element_at(F.col("_bloom"), widx), F.lit(0)),
+                bit,
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        test = hit if test is None else test & hit
+    return facts.join(F.broadcast(mask)).withColumn(
+        "bloom_pass", test
+    ).drop("_bloom")

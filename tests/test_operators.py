@@ -1946,3 +1946,66 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must pass its own bloom (no false negatives,
+    ever), and OR-merging two shard blooms equals the bloom of the
+    union -- the mergeability contract of the sketch family."""
+    from html2text_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(200).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k")
+    probed = bloom_probe(keys, bloom, "k")
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+    # shard merge: bit_or of per-shard words == whole-set bloom
+    a = bloom_build(keys.filter(F.col("k") < 100), "k")
+    b = bloom_build(keys.filter(F.col("k") >= 100), "k")
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    whole = {r["word_idx"]: r["word"] for r in bloom.collect()}
+    assert merged == whole
+    # definitive negatives: a key whose bits are absent must fail
+    empty_bloom = bloom_build(keys.filter(F.lit(False)), "k")
+    none = bloom_probe(keys, empty_bloom, "k")
+    assert none.filter(F.col("bloom_pass")).count() == 0
+
+
+def test_count_anomalies_matches_recompute(spark):
+    """z-scores equal a driver-side recompute from the same integer
+    moments, and only |z| > 2 rows surface."""
+    import math
+
+    from html2text_spark.operators.profiling import count_anomalies
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        (r["event_type"], r["bucket"]): (r["cnt"], r["z"])
+        for r in count_anomalies(events).collect()
+    }
+    buckets = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .count()
+        .collect()
+    )
+    per_type = {}
+    for r in buckets:
+        per_type.setdefault(r["event_type"], []).append((r["b"], r["count"]))
+    expect = {}
+    for et, rows in per_type.items():
+        h = len(rows)
+        s1 = sum(c for _, c in rows)
+        s2 = sum(c * c for _, c in rows)
+        if h < 2 or s2 * h <= s1 * s1:
+            continue
+        var = (s2 * h - s1 * s1) / (h * (h - 1))
+        for b, c in rows:
+            z = (c * h - s1) / (h * math.sqrt(var))
+            if abs(z) > 2:
+                expect[(et, b)] = (c, round(z, 8))
+    assert got == expect and got, "anomaly sets must match and be non-empty"

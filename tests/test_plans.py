@@ -534,3 +534,18 @@ def test_large_volume_orders_preaggregates_lineitem(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_bloom_probe_is_projection_on_probe_side(spark):
+    """The bloom probe must not shuffle the fact side: the mask folds to
+    one row, rides a broadcast, and the membership test is codegen'd
+    map lookups -- no Exchange hashpartitioning on the probe input."""
+    from html2text_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    facts = spark.range(10000).select(F.col("id").alias("k"))
+    plan = _plan(bloom_probe(facts, bloom_build(keys, "k"), "k"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the only hash exchange allowed is the tiny mask-build aggregate
+    # (keyed on word_idx, which Catalyst renames to _groupingexpression)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
