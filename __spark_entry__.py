@@ -1443,6 +1443,21 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_anomalies(_tbl(spark, sf_dir, "events"))
 
 
+def q_events_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH streaming family: per-type streaming KMV distinct-user
+    sketch (applyInPandasWithState, k-longs bounded state, JVM-side md5)
+    run to completion -- streamed output equals batch kmv_distinct and
+    the DuckDB oracle value-exactly, the property no built-in streaming
+    cardinality estimator can offer."""
+    from html2text_spark.streaming.kmv import kmv_events_complete
+
+    return kmv_events_complete(
+        spark,
+        _tbl(spark, sf_dir, "events"),
+        query_name=f"kmv_sf{sf_dir.rstrip('/').split('sf')[-1].replace('.', '_')}",
+    )
+
+
 def q_curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically messy synthetic URLs:
     every doc pair (2k, 2k+1) carries two variants of one page (case,
@@ -1574,7 +1589,6 @@ def queries() -> dict[str, _Q]:
         "extract_metrics": q_extract_metrics,
         "extract_markdown_stats": q_extract_markdown_stats,
         "extract_markdown_ref": q_extract_markdown_ref,
-        "extract_media_interleave": q_extract_media_interleave,
         # -- families past the r4 cap (driver-unverified until now) --
         "events_segments_stream": q_events_segments_stream,
         "events_attribution_stream": q_events_attribution_stream,
@@ -1618,12 +1632,14 @@ def queries() -> dict[str, _Q]:
         "curation_url_dedup": q_curation_url_dedup,
         "events_anomaly": q_events_anomaly,
         "rel_bloom_prefilter": q_rel_bloom_prefilter,
+        "events_kmv_stream": q_events_kmv_stream,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
-        # -- long-stable, driver-green r1-r3 families (local gate) --
+        # -- long-stable, driver-green r1-r4 families (local gate) --
+        "extract_media_interleave": q_extract_media_interleave,
         "extract_markdown": q_extract_markdown,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -2544,6 +2560,20 @@ select grp, word, tf, df, round(score, 6) as score, rank
 from r where rank <= 5
 """,
         "events_kmv_users": """
+with d as (select distinct event_type as grp, user_id as key from events),
+ h as (select grp,
+       ((('0x'||substr(md5(key::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)
+         / 1152921504606846976.0 as h
+       from d),
+ r as (select grp, h, row_number() over (partition by grp order by h) as rank
+       from h)
+select grp, count(*) as n_kept,
+  round(case when count(*) < 64 then count(*)::DOUBLE
+             else 63.0 / max(h) end, 6) as kmv_estimate
+from r where rank <= 64 group by grp
+""",
+        # streamed KMV == batch KMV == this same SQL (the whole point)
+        "events_kmv_stream": """
 with d as (select distinct event_type as grp, user_id as key from events),
  h as (select grp,
        ((('0x'||substr(md5(key::VARCHAR),1,15))::BIGINT)::DOUBLE + 1.0)

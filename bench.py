@@ -246,6 +246,13 @@ def main() -> int:
         "events_gapfill",
         "events_salted_join",
         "events_outliers",
+        "rel_profile_approx",
+        "rel_returned_items",
+        "rel_large_orders",
+        "text_bm25",
+        "curation_url_dedup",
+        "events_anomaly",
+        "rel_bloom_prefilter",
     ]
     # Deliberately NOT timed here (driver-gate still verifies their
     # values every round): the five streaming twins (per-run file

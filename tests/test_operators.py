@@ -2009,3 +2009,26 @@ def test_count_anomalies_matches_recompute(spark):
             if abs(z) > 2:
                 expect[(et, b)] = (c, round(z, 8))
     assert got == expect and got, "anomaly sets must match and be non-empty"
+
+
+def test_kmv_stream_equals_batch(spark):
+    """SEVENTH streaming family: the streamed KMV sketch (bounded
+    min-k-longs state) equals the batch sketch value-exactly, including
+    the estimate path (k=8 forces estimation on this corpus)."""
+    from html2text_spark.operators.sketches import kmv_distinct
+    from html2text_spark.streaming.kmv import kmv_events_complete
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["grp"]: (r["n_kept"], r["kmv_estimate"])
+        for r in kmv_events_complete(
+            spark, events, k=8, query_name="kmv_eq_batch"
+        ).collect()
+    }
+    want = {
+        r["grp"]: (r["n_kept"], r["kmv_estimate"])
+        for r in kmv_distinct(events, "user_id", "event_type", k=8).collect()
+    }
+    assert got == want and got
+    # estimate path genuinely exercised: every group saturated its k
+    assert all(n == 8 for n, _ in got.values())
