@@ -1536,6 +1536,37 @@ def q_rel_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by ship year --
+    the widest fact join in the suite (lineitem x orders x customer x
+    supplier) with one broadcast nation-pair dim serving both ends."""
+    return R.nation_pair_volume(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one ship year --
+    conditional cent-percent sums, one float division at the end."""
+    return R.promo_revenue_share(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate graph (clique-ness of the
+    near-dup neighborhood): oriented wedge join + closing join, each on
+    uniform keys."""
+    pairs = D.minhash_lsh_candidates(
+        _near_corpus(spark, sf_dir), num_hashes=8, bands=4, k=3
+    )
+    return D.triangle_stats(pairs)
+
+
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein verification of LSH candidate pairs (the
     character-level twin of dedup_ngram_jaccard): distance + normalized
@@ -1633,6 +1664,9 @@ def queries() -> dict[str, _Q]:
         "events_anomaly": q_events_anomaly,
         "rel_bloom_prefilter": q_rel_bloom_prefilter,
         "events_kmv_stream": q_events_kmv_stream,
+        "rel_nation_volume": q_rel_nation_volume,
+        "rel_promo_share": q_rel_promo_share,
+        "dedup_triangles": q_dedup_triangles,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
@@ -3017,6 +3051,60 @@ from c, pos
 where c.acctbal_cents * pos.n_pos > pos.sum_pos_cents
   and c.c_custkey not in (select o_custkey from recent)
 group by 1 order by 1
+""",
+        "rel_nation_volume": """
+with dim as (select n_nationkey, n_name from nation
+             where n_name in ('NATION_3', 'NATION_7'))
+select sn.n_name as supp_nation, cn.n_name as cust_nation,
+       year(l.l_shipdate) as ship_year,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT))::BIGINT as revenue_cp
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join dim cn on c.c_nationkey = cn.n_nationkey
+join dim sn on s.s_nationkey = sn.n_nationkey
+where sn.n_name <> cn.n_name
+group by 1, 2, 3 order by 1, 2, 3
+""",
+        "rel_promo_share": """
+with j as (
+  select p.p_type,
+         round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT) as rev_cp
+  from lineitem l join part p on l.l_partkey = p.p_partkey
+  where year(l.l_shipdate) = 1997)
+select sum(case when p_type = 'PROMO' then rev_cp else 0 end)::BIGINT
+         as promo_cp,
+       sum(rev_cp)::BIGINT as total_cp,
+       round((100.0 * (sum(case when p_type = 'PROMO' then rev_cp
+                               else 0 end)::BIGINT)::DOUBLE)
+             / (sum(rev_cp)::BIGINT)::DOUBLE, 8) as promo_pct
+from j
+""",
+        "dedup_triangles": f"""
+with {union_near},
+{_minhash_sig_sql('docs').strip()}
+, banded as (
+  select doc_id, unnest([{bands_sql}], recursive := true) from sig),
+ cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from banded l join banded r
+    on l.band_idx = r.band_idx and l.band_hash = r.band_hash
+   and l.doc_id < r.doc_id),
+ tedge as (select doc_a as a, doc_b as b from cand),
+ wdg as (
+  select e1.b as x, e2.b as y
+  from tedge e1 join tedge e2 on e1.a = e2.a and e1.b < e2.b),
+ tri3 as (
+  select count(*)::BIGINT as n_triangles
+  from wdg join tedge on wdg.x = tedge.a and wdg.y = tedge.b),
+ tnode as (
+  select count(distinct n)::BIGINT as n_nodes
+  from (select a as n from tedge union all select b as n from tedge)),
+ tecnt as (select count(*)::BIGINT as n_edges from tedge)
+select n_nodes, n_edges, n_triangles from tnode, tecnt, tri3
 """,
         "dedup_editdist": f"""
 with {union_near},

@@ -536,3 +536,45 @@ def edit_distance_verify(
         lev.alias("edit_distance"),
         F.round(sim, 8).alias("similarity"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Triangle census of an (a < b)-oriented edge list -- the
+    clustering-coefficient ingredient dedup pipelines use to tell
+    near-dup CLIQUES (template families, mirror farms: triangle-dense)
+    from chains of borderline pairs (triangle-free).
+
+    Node-iterator with oriented closure: the wedge join pairs each
+    node's oriented neighbors (b < c both above a), the closing join
+    checks edge (b, c) -- every triangle is counted exactly once from
+    its smallest vertex.  Two uniform-key shuffle joins, no explosion
+    beyond sum-of-squared-degrees for the wedge stage; at 10^12-edge
+    scale the orientation would rank by (degree, id) instead of raw id
+    to bound the heaviest wedge fan-out (same plan, different sort
+    key).  Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    wedges = (
+        e.select("a", F.col("b").alias("x"))
+        .join(e.select(F.col("a").alias("a2"), F.col("b").alias("y")),
+              F.col("a") == F.col("a2"))
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+    )
+    closed = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .join(e.agg(F.count("*").alias("n_edges")))
+        .join(closed.agg(F.count("*").alias("n_triangles")))
+    )

@@ -499,3 +499,89 @@ def dormant_rich_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def nation_pair_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, both
+    directions, by ship year.
+
+    The widest join in the suite -- lineitem x orders x customer x
+    supplier on uniform fact keys, with BOTH nation lookups riding one
+    broadcast dim filtered to the pair.  The direction predicate
+    (supp_nation != cust_nation) applies after the dim joins, when each
+    row carries two tiny strings rather than the full row.  Revenue is
+    exact cent-percent.
+    """
+    dim = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_cp"
+        ),
+    )
+    supp = supplier.join(
+        F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(_sum_wide(F.col("rev_cp")).alias("revenue_cp"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one ship year.
+
+    Broadcast part-type dim join + ONE aggregate with a conditional sum;
+    the share is a single float division of two exact integer
+    cent-percent sums (identical on any engine), scaled to percent.
+    """
+    li = lineitem.filter(F.year("l_shipdate") == year).select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_cp"
+        ),
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev_cp")).otherwise(
+        F.lit(0)
+    )
+    return joined.agg(
+        _sum_wide(promo).alias("promo_cp"),
+        _sum_wide(F.col("rev_cp")).alias("total_cp"),
+    ).select(
+        "promo_cp",
+        "total_cp",
+        F.round(
+            F.lit(100.0) * F.col("promo_cp").cast("double")
+            / F.col("total_cp").cast("double"),
+            8,
+        ).alias("promo_pct"),
+    )

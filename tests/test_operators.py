@@ -2032,3 +2032,25 @@ def test_kmv_stream_equals_batch(spark):
     assert got == want and got
     # estimate path genuinely exercised: every group saturated its k
     assert all(n == 8 for n, _ in got.values())
+
+
+def test_triangle_stats_known_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6), (1, 2)],
+        "doc_a long, doc_b long",
+    )
+    from html2text_spark.operators.dedup import triangle_stats
+
+    r = triangle_stats(edges).collect()[0]
+    # duplicate edge deduped; triangles (1,2,3) and (2,3,4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 6, 2)
+
+
+def test_promo_revenue_share_recompute(spark):
+    from html2text_spark.operators.relational import promo_revenue_share
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    r = promo_revenue_share(li, part, year=1997).collect()[0]
+    assert 0 < r["promo_cp"] < r["total_cp"]
+    assert r["promo_pct"] == round(100.0 * r["promo_cp"] / r["total_cp"], 8)
