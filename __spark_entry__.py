@@ -1536,6 +1536,67 @@ def q_rel_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (day), ()) with grouping_id
+    -- the third grouping family beside ROLLUP and CUBE: arbitrary set
+    lists that neither of those can express (no (type, day) cell here).
+    One Expand pass, order-independent aggregates only."""
+    events = _tbl(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+            "value",
+        )
+        .groupingSets(
+            [["event_type"], ["day"], []], "event_type", "day"
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave (user, hour) into
+    one key, bucket by its top 4 bits, and report per-bucket bounds of
+    BOTH dimensions -- the min/max-statistics property that lets a
+    z-sorted layout prune scans on either predicate.  Pure codegen bit
+    arithmetic, mirrored bit-for-bit in the oracle."""
+    from html2text_spark.sources import zorder_key
+
+    events = _tbl(spark, sf_dir, "events")
+    hour_abs = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    base = events.select(
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("u"),
+        hour_abs.alias("habs"),
+    )
+    # range-reduce the hour dimension to hours-since-corpus-start (the
+    # one-row bounds aggregate broadcasts); raw epoch hours share their
+    # high bits corpus-wide, which would collapse every z bucket
+    lo = base.agg(F.min("habs").alias("h0"))
+    d = (
+        base.join(F.broadcast(lo))
+        .select("u", F.pmod(F.col("habs") - F.col("h0"), F.lit(65536)).alias("h"))
+        .select("u", "h", zorder_key(F.col("u"), F.col("h"), 16).alias("zkey"))
+    )
+    return (
+        d.groupBy(F.shiftright(F.col("zkey"), 12).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
 def q_rel_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between two nations by ship year --
     the widest fact join in the suite (lineitem x orders x customer x
@@ -1667,6 +1728,8 @@ def queries() -> dict[str, _Q]:
         "rel_nation_volume": q_rel_nation_volume,
         "rel_promo_share": q_rel_promo_share,
         "dedup_triangles": q_dedup_triangles,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_zorder": q_events_zorder,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
@@ -2007,6 +2070,12 @@ from sims qualify rank <= 5
         f"s.tf{i} as tf_{t}" for i, t in enumerate(bm_terms)
     )
     bm_any = " or ".join(f"s.tf{i} > 0" for i in range(len(bm_terms)))
+
+    # z-order: the same 32 shift/mask terms the Spark expression folds
+    z_terms = " | ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) | (((h >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
 
     union_exact = """
 docs as (select doc_id, text from documents
@@ -3051,6 +3120,25 @@ from c, pos
 where c.acctbal_cents * pos.n_pos > pos.sum_pos_cents
   and c.c_custkey not in (select o_custkey from recent)
 group by 1 order by 1
+""",
+        "events_zorder": f"""
+with b as (
+  select user_id % 65536 as u, (epoch_us(ts) // 3600000000) as habs
+  from events),
+ lo as (select min(habs) as h0 from b),
+ d as (select u, (habs - h0) % 65536 as h from b, lo),
+ z as (select u, h, ({z_terms}) as zkey from d)
+select zkey >> 12 as bucket, count(*)::BIGINT as n,
+       min(u)::BIGINT as min_u, max(u)::BIGINT as max_u,
+       min(h)::BIGINT as min_h, max(h)::BIGINT as max_h
+from z group by 1
+""",
+        "events_grouping_sets": """
+select event_type, date_trunc('day', ts) as day, count(*)::BIGINT as events,
+       count(distinct user_id)::BIGINT as users,
+       sum(round(value*100)::BIGINT)::BIGINT as value_cents
+from events
+group by grouping sets ((event_type), (day), ())
 """,
         "rel_nation_volume": """
 with dim as (select n_nationkey, n_name from nation

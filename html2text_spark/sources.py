@@ -214,3 +214,35 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def zorder_key(c0, c1, bits: int = 16):
+    """Morton / Z-order interleaved key of two non-negative integer
+    dimensions (c0 -> even bits, c1 -> odd bits; ``bits`` low bits of
+    each are used).
+
+    The data-CLUSTERING primitive behind multi-dimensional file
+    skipping: sorting (repartitionByRange + sortWithinPartitions) by
+    this key bounds BOTH dimensions within every file/row-group, so
+    min/max statistics prune scans on either predicate -- a plain sort
+    bounds only its leading column.  Pure codegen bit arithmetic
+    (an OR-fold of shift/mask terms, no UDF), mirrorable bit-for-bit in
+    any engine.  Callers must range-reduce dimensions to ``bits`` bits
+    first (values are masked here, so out-of-range inputs wrap rather
+    than poison neighbors).
+    """
+    from functools import reduce
+
+    if not (1 <= bits <= 31):
+        raise ValueError(f"zorder_key: bits={bits} outside [1, 31]")
+    a = c0.cast("long")
+    b = c1.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), terms)

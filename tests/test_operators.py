@@ -2054,3 +2054,35 @@ def test_promo_revenue_share_recompute(spark):
     r = promo_revenue_share(li, part, year=1997).collect()[0]
     assert 0 < r["promo_cp"] < r["total_cp"]
     assert r["promo_pct"] == round(100.0 * r["promo_cp"] / r["total_cp"], 8)
+
+
+def test_zorder_key_bounds_both_dimensions(spark):
+    """Z-bucket locality: within each z-prefix bucket BOTH dimensions
+    are bounded (the multi-dim file-skipping property), while a plain
+    single-column sort bounds only its leading column.  Also pins the
+    bit interleave against a Python recompute."""
+    from html2text_spark.sources import zorder_key
+
+    rows = [(u, h) for u in range(0, 64) for h in range(0, 64)]
+    df = spark.createDataFrame(rows, "u long, h long")
+    got = df.select(
+        "u", "h", zorder_key(F.col("u"), F.col("h"), 6).alias("z")
+    ).collect()
+
+    def z_py(u, h, bits=6):
+        z = 0
+        for i in range(bits):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((h >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(r["z"] == z_py(r["u"], r["h"]) for r in got)
+    # each 16-value z-prefix bucket covers a 4x4 tile: both dims span <= 4
+    buckets = {}
+    for r in got:
+        buckets.setdefault(r["z"] >> 4, []).append((r["u"], r["h"]))
+    assert len(buckets) == 64 * 64 // 16
+    for vals in buckets.values():
+        us = [u for u, _ in vals]
+        hs = [h for _, h in vals]
+        assert max(us) - min(us) <= 3 and max(hs) - min(hs) <= 3
