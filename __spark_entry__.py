@@ -1687,15 +1687,10 @@ def queries() -> dict[str, _Q]:
         "events_attribution_outer_stream": q_events_attribution_outer_stream,
         "text_pii_scrub": q_text_pii_scrub,
         "text_filter_verdicts": q_text_filter_verdicts,
-        "text_percentiles": q_text_percentiles,
         "text_percentiles_hist": q_text_percentiles_hist,
         "text_percentiles_approx": q_text_percentiles_approx,
-        "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
-        "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
-        "curation_ngrams": q_curation_ngrams,
-        "curation_weighted_sample": q_curation_weighted_sample,
         "curation_decontaminate": q_curation_decontaminate,
         "curation_domain_cap": q_curation_domain_cap,
         "curation_stratified": q_curation_stratified,
@@ -1736,6 +1731,11 @@ def queries() -> dict[str, _Q]:
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "curation_sample": q_curation_sample,
+        "curation_ngrams": q_curation_ngrams,
+        "curation_weighted_sample": q_curation_weighted_sample,
+        "text_percentiles": q_text_percentiles,
+        "text_repetition": q_text_repetition,
         "extract_media_interleave": q_extract_media_interleave,
         "extract_markdown": q_extract_markdown,
         "dedup_exact": q_dedup_exact,
@@ -3020,18 +3020,22 @@ with u as (
            || '/?b=2&utm_source=x&a=1#frag'
     end as url
   from documents),
+ b as (select doc_id, regexp_extract(url, '^[^#]*') as base from u),
  q as (
-  select doc_id, url,
+  select doc_id, base,
+    lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) as scheme,
+    lower(regexp_extract(base, '^[A-Za-z]+://([^/?#]+)', 1)) as hostport,
     array_to_string(list_sort(list_filter(
-      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      string_split(regexp_extract(base, '\\?(.*)', 1), '&'),
       p -> not starts_with(p, 'utm_') and p <> '')), '&') as qs
-  from u),
+  from b),
  c as (
   select doc_id,
-    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-    || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-                      ':(80|443)$', '')
-    || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+    scheme || '://'
+    || case when scheme = 'http' then regexp_replace(hostport, ':80$', '')
+            when scheme = 'https' then regexp_replace(hostport, ':443$', '')
+            else hostport end
+    || regexp_replace(regexp_extract(base, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                       '/$', '')
     || case when qs <> '' then '?' || qs else '' end as canonical_url
   from q)

@@ -312,17 +312,27 @@ def canonical_url(url: Column) -> Column:
     trailing slash, fragments) as one page.  Steps, all pure codegen
     string/array expressions mirrored in the SQL oracle:
 
-      scheme + host lowercased; :80/:443 default ports stripped;
-      fragment dropped; query params split, utm_* tracking params and
-      empties removed, remainder binary-sorted and rejoined; trailing
-      path slash trimmed (root path normalizes to '').
+      fragment dropped FIRST (so a '?' inside a fragment is never
+      mistaken for a query string); scheme + host lowercased; the
+      scheme's OWN default port stripped (:80 for http, :443 for https
+      -- http on :443 is a different endpoint and keeps its port);
+      query params split, utm_* tracking params and empties removed,
+      remainder binary-sorted and rejoined; trailing path slash trimmed
+      (root path normalizes to '').
     """
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
-    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
-    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    base = F.regexp_extract(url, r"^[^#]*", 0)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = (
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, r":80$", "")
+        )
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(base, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    q = F.regexp_extract(base, r"\?(.*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(q, "&"),

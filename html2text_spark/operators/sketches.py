@@ -239,7 +239,16 @@ def bloom_probe(
     shuffle, no per-row Python: k static map lookups + bit tests in
     codegen.  Adds a boolean ``bloom_pass`` column ('no' is definitive;
     'yes' may be a false positive at the documented rate).
+
+    (words, bits_per_word, k) MUST match the values the bloom was built
+    with -- a mismatch re-addresses every probe and silently turns into
+    false NEGATIVES, the one failure a bloom must never have.  The
+    parameters are validated here exactly as in ``bloom_build`` so at
+    least an out-of-domain value fails loud; callers persisting a bloom
+    should persist its parameters beside it.
     """
+    if words < 1 or k < 1 or not (1 <= bits_per_word <= 32):
+        raise ValueError("bloom_probe: invalid (words, bits_per_word, k)")
     m = words * bits_per_word
     mask = bloom.agg(
         F.map_from_entries(

@@ -90,19 +90,29 @@ def kmv_stream(
                 .astype("int64")
                 // 1_000
             )
+            # _kh is non-null int64 by construction (clock rows carry
+            # the -1 sentinel), so Arrow delivers exact integers -- a
+            # nullable batch would coerce to float64 and round 60-bit
+            # hashes onto a 128-spaced grid (review catch)
             hashes = rows["_kh"]
+            mask = hashes >= 0
             if horizon_us is not None:
-                hashes = hashes[ts_us <= horizon_us]
+                mask &= ts_us <= horizon_us
+            hashes = hashes[mask]
             mins = list(state.get[0]) if state.exists else []
-            merged = sorted(set(mins) | set(int(h) for h in hashes.dropna()))[:k]
+            merged = sorted(set(mins) | set(int(h) for h in hashes))[:k]
             state.update((merged,))
+            # the timeout target must sit ABOVE the current watermark or
+            # Spark rejects it (a batch can deliver admitted rows after
+            # the watermark has already passed the horizon)
+            wm_ms = state.getCurrentWatermarkMs()
             if horizon_us is not None:
                 # flush when the watermark (driven by the clock rows)
                 # passes the observation horizon
-                state.setTimeoutTimestamp(horizon_us // 1000 + 1)
+                state.setTimeoutTimestamp(max(horizon_us // 1000, wm_ms) + 1)
             else:
                 last_us = int(ts_us.max())
-                state.setTimeoutTimestamp(last_us // 1000 + 1)
+                state.setTimeoutTimestamp(max(last_us // 1000, wm_ms) + 1)
         elif state.hasTimedOut and state.exists:
             mins = list(state.get[0])
             n = len(mins)
@@ -123,7 +133,17 @@ def kmv_stream(
         .select(
             F.col(group_col).alias("grp"),
             "ts",
-            md5_int(F.col(key_col).cast("string")).alias("_kh"),
+            # null keys (the completion clock rows) must keep flowing so
+            # they advance the watermark (a JVM-side null filter gets
+            # pushed below the watermark node and starves it), but a
+            # NULLABLE int64 batch reaches pandas as float64, rounding
+            # 60-bit hashes onto a 128-spaced grid (exactness contract).
+            # Coalescing to -1 keeps the column non-null int64; real md5
+            # hashes are non-negative, so the state function drops the
+            # sentinel exactly.
+            F.coalesce(
+                md5_int(F.col(key_col).cast("string")), F.lit(-1).cast("long")
+            ).alias("_kh"),
         )
     )
     return stream.groupBy("grp").applyInPandasWithState(

@@ -1942,6 +1942,11 @@ def test_canonical_url_edge_cases(spark):
         ("http://example.com/x#frag", "http://example.com/x"),
         ("http://example.com/x?", "http://example.com/x"),
         ("http://EXAMPLE.com:80/x/?b=2&a=1", "http://example.com/x?a=1&b=2"),
+        # a '?' inside the fragment is NOT a query (review catch)
+        ("http://example.com/x#!/section?tab=1", "http://example.com/x"),
+        # only the scheme's OWN default port is default (review catch)
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
