@@ -1480,6 +1480,14 @@ def q_curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select(did.alias("doc_id"), url.alias("url")))
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading ease per doc: vowel-group syllables,
+    punctuation sentences, three mirrored IEEE ops -- pure projection."""
+    from html2text_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-20 for a fixed term set: per-doc tf projection,
     ONE corpus-stats aggregate broadcast back, ratio idf (no libm log --
@@ -1689,7 +1697,6 @@ def queries() -> dict[str, _Q]:
         "text_filter_verdicts": q_text_filter_verdicts,
         "text_percentiles_hist": q_text_percentiles_hist,
         "text_percentiles_approx": q_text_percentiles_approx,
-        "text_winnow": q_text_winnow,
         "curation_pack": q_curation_pack,
         "curation_decontaminate": q_curation_decontaminate,
         "curation_domain_cap": q_curation_domain_cap,
@@ -1725,12 +1732,14 @@ def queries() -> dict[str, _Q]:
         "dedup_triangles": q_dedup_triangles,
         "events_grouping_sets": q_events_grouping_sets,
         "events_zorder": q_events_zorder,
+        "text_readability": q_text_readability,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "text_winnow": q_text_winnow,
         "curation_sample": q_curation_sample,
         "curation_ngrams": q_curation_ngrams,
         "curation_weighted_sample": q_curation_weighted_sample,
@@ -3042,6 +3051,21 @@ with u as (
 select canonical_url, count(*)::BIGINT as n_variants,
        min(doc_id)::BIGINT as canonical_id
 from c group by 1
+""",
+        "text_readability": """
+with s as (
+  select doc_id,
+    len(string_split_regex(trim(text), '\\s+'))::BIGINT as n_words,
+    list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
+      w -> len(regexp_extract_all(w, '[aeiouyAEIOUY]+'))), 'sum')::BIGINT
+      as n_syllables,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+      as n_sentences
+  from documents)
+select doc_id, n_words, n_syllables, n_sentences,
+  round((206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE))
+        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 8) as flesch
+from s
 """,
         "text_bm25": f"""
 with s as (

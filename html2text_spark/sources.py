@@ -246,3 +246,60 @@ def zorder_key(c0, c1, bits: int = 16):
             F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def register_fixture_datasource(spark: SparkSession) -> None:
+    """Register the ``golden_fixtures`` Python Data Source (Spark 4 API).
+
+    Exposes the reference's 78 golden .html/.md pairs as a first-class
+    Spark table source -- ``spark.read.format("golden_fixtures")`` --
+    demonstrating the custom-source surface (schema declaration,
+    input-partition planning, per-partition iterators) on the corpus
+    that defines this engine's correctness.  The fixture set is a test
+    corpus, so a handful of planned partitions is the honest scale
+    shape; a production source would plan partitions from file listings
+    the same way.
+
+    Defined lazily inside the function: the datasource base classes
+    import pyspark internals that should not load at package import.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _FixtureReader(DataSourceReader):
+        def __init__(self, n_parts: int = 4):
+            self._n = n_parts
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self._n)]
+
+        def read(self, partition):
+            from html2text_spark.fixtures import iter_fixtures
+
+            for i, (name, html, expected, cfg) in enumerate(iter_fixtures()):
+                if i % self._n == partition.value:
+                    yield (
+                        name,
+                        html,
+                        expected,
+                        str(getattr(cfg, "body_width", 78)),
+                    )
+
+    class GoldenFixtureSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "golden_fixtures"
+
+        def schema(self):
+            return (
+                "name string, html string, expected_md string, "
+                "body_width string"
+            )
+
+        def reader(self, schema):
+            return _FixtureReader()
+
+    spark.dataSource.register(GoldenFixtureSource)

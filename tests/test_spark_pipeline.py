@@ -445,3 +445,19 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and no row-level Filter on lang remains above the scan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed, plan
+
+
+def test_golden_fixture_datasource(spark):
+    """The Spark 4 Python Data Source surface: the golden corpus reads
+    as a first-class format with planned partitions, and its content
+    matches iter_fixtures exactly."""
+    from html2text_spark.fixtures import iter_fixtures
+    from html2text_spark.sources import register_fixture_datasource
+
+    register_fixture_datasource(spark)
+    df = spark.read.format("golden_fixtures").load()
+    rows = {r["name"]: (r["html"], r["expected_md"]) for r in df.collect()}
+    want = {n: (h, e) for n, h, e, _ in iter_fixtures()}
+    assert rows == want and len(rows) >= 78
+    # the source plans multiple input partitions (distributed read path)
+    assert df.rdd.getNumPartitions() == 4
