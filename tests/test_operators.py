@@ -2091,3 +2091,76 @@ def test_zorder_key_bounds_both_dimensions(spark):
         us = [u for u, _ in vals]
         hs = [h for _, h in vals]
         assert max(us) - min(us) <= 3 and max(hs) - min(hs) <= 3
+
+
+def test_streaming_restart_resumes_exactly_once(spark, tmp_path):
+    """Checkpointed streaming recovery: run the watermarked hourly
+    rollup over the first half of the corpus, terminate, then restart
+    from the SAME checkpoint with the second half + completion clock.
+    The union of both runs' append output must equal the batch rollup
+    exactly -- windows spanning the crash point are merged from
+    recovered state, nothing is emitted twice, nothing is lost."""
+    from html2text_spark.streaming.windows import hourly_rollup_stream
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    mid = events.agg(
+        F.to_timestamp(
+            F.from_unixtime(F.avg(F.unix_seconds(F.col("ts"))))
+        ).alias("m")
+    ).collect()[0]["m"]
+    first = events.filter(F.col("ts") < F.lit(mid))
+    rest = events.filter(F.col("ts") >= F.lit(mid))
+    assert first.count() > 0 and rest.count() > 0
+    horizon = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    clock = spark.createDataFrame(
+        [(int(-1), horizon, "__clock__", 0.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    ).withColumn("ts", F.timestamp_add("DAY", F.lit(10), F.col("ts")))
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(df):
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        q = (
+            hourly_rollup_stream(
+                spark.readStream.schema(events.schema).parquet(in_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(first)                      # "crash" after this terminates
+    n_after_first = spark.read.parquet(out_dir).count()
+    run_once(rest.unionAll(clock))       # restart from the checkpoint
+    got = {
+        (r["hour"], r["event_type"]): (r["events"], r["min_value"], r["max_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["events"], r["min_value"], r["max_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.min("value"), 8).alias("min_value"),
+            F.round(F.max("value"), 8).alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # both runs genuinely contributed (recovery, not a single-run rerun)
+    assert 0 < n_after_first < len(got)
+    # exactly-once: no (window, type) key appears twice in the sink
+    n_rows = spark.read.parquet(out_dir).count()
+    assert n_rows == len(got)
