@@ -1636,6 +1636,16 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.triangle_stats(pairs)
 
 
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 iterations) over the LSH
+    candidate graph -- deterministic at any parallelism (integer sums,
+    no float), oracle = the same procedure unrolled as chained CTEs."""
+    pairs = D.minhash_lsh_candidates(
+        _near_corpus(spark, sf_dir), num_hashes=8, bands=4, k=3
+    )
+    return D.pagerank_fixed(pairs)
+
+
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein verification of LSH candidate pairs (the
     character-level twin of dedup_ngram_jaccard): distance + normalized
@@ -1698,7 +1708,6 @@ def queries() -> dict[str, _Q]:
         "text_percentiles_hist": q_text_percentiles_hist,
         "text_percentiles_approx": q_text_percentiles_approx,
         "curation_pack": q_curation_pack,
-        "curation_decontaminate": q_curation_decontaminate,
         "curation_domain_cap": q_curation_domain_cap,
         "curation_stratified": q_curation_stratified,
         "events_incremental": q_events_incremental,
@@ -1733,12 +1742,14 @@ def queries() -> dict[str, _Q]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_zorder": q_events_zorder,
         "text_readability": q_text_readability,
+        "dedup_pagerank": q_dedup_pagerank,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "curation_decontaminate": q_curation_decontaminate,
         "text_winnow": q_text_winnow,
         "curation_sample": q_curation_sample,
         "curation_ngrams": q_curation_ngrams,
@@ -2079,6 +2090,42 @@ from sims qualify rank <= 5
         f"s.tf{i} as tf_{t}" for i, t in enumerate(bm_terms)
     )
     bm_any = " or ".join(f"s.tf{i} > 0" for i in range(len(bm_terms)))
+
+    # fixed-point pagerank: the exact integer procedure unrolled as
+    # chained CTEs (no recursion, no float)
+    pagerank_ctes = """,
+ pr0 as (select node, 1000000::BIGINT as pr from nd),
+ pr1 as (
+  select nd.node, (150000 + coalesce(s1.c, 0))::BIGINT as pr
+  from nd left join (
+    select de.dst, sum((p.pr * 85) // (100 * dg.deg))::BIGINT as c
+    from de join pr0 p on de.src = p.node join dg on de.src = dg.src
+    group by de.dst) s1 on nd.node = s1.dst),
+ pr2 as (
+  select nd.node, (150000 + coalesce(s2.c, 0))::BIGINT as pr
+  from nd left join (
+    select de.dst, sum((p.pr * 85) // (100 * dg.deg))::BIGINT as c
+    from de join pr1 p on de.src = p.node join dg on de.src = dg.src
+    group by de.dst) s2 on nd.node = s2.dst),
+ pr3 as (
+  select nd.node, (150000 + coalesce(s3.c, 0))::BIGINT as pr
+  from nd left join (
+    select de.dst, sum((p.pr * 85) // (100 * dg.deg))::BIGINT as c
+    from de join pr2 p on de.src = p.node join dg on de.src = dg.src
+    group by de.dst) s3 on nd.node = s3.dst),
+ pr4 as (
+  select nd.node, (150000 + coalesce(s4.c, 0))::BIGINT as pr
+  from nd left join (
+    select de.dst, sum((p.pr * 85) // (100 * dg.deg))::BIGINT as c
+    from de join pr3 p on de.src = p.node join dg on de.src = dg.src
+    group by de.dst) s4 on nd.node = s4.dst),
+ pr5 as (
+  select nd.node, (150000 + coalesce(s5.c, 0))::BIGINT as pr
+  from nd left join (
+    select de.dst, sum((p.pr * 85) // (100 * dg.deg))::BIGINT as c
+    from de join pr4 p on de.src = p.node join dg on de.src = dg.src
+    group by de.dst) s5 on nd.node = s5.dst)
+"""
 
     # z-order: the same 32 shift/mask terms the Spark expression folds
     z_terms = " | ".join(
@@ -3221,6 +3268,23 @@ with {union_near},
   from (select a as n from tedge union all select b as n from tedge)),
  tecnt as (select count(*)::BIGINT as n_edges from tedge)
 select n_nodes, n_edges, n_triangles from tnode, tecnt, tri3
+""",
+        "dedup_pagerank": f"""
+with {union_near},
+{_minhash_sig_sql('docs').strip()}
+, banded as (
+  select doc_id, unnest([{bands_sql}], recursive := true) from sig),
+ cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from banded l join banded r
+    on l.band_idx = r.band_idx and l.band_hash = r.band_hash
+   and l.doc_id < r.doc_id),
+ de as (select doc_a as src, doc_b as dst from cand
+        union
+        select doc_b as src, doc_a as dst from cand),
+ dg as (select src, count(*)::BIGINT as deg from de group by 1),
+ nd as (select distinct src as node from de){pagerank_ctes}
+select node, pr from pr5
 """,
         "dedup_editdist": f"""
 with {union_near},

@@ -578,3 +578,69 @@ def triangle_stats(
         .join(e.agg(F.count("*").alias("n_edges")))
         .join(closed.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank over an undirected edge list -- centrality
+    of the near-dup graph (template hubs rank high), and the suite's
+    second iterative graph algorithm beside connected_components.
+
+    Classic PageRank sums IEEE floats across in-neighbors, which is
+    shuffle-order-dependent and can never match another engine bit-for-
+    bit.  This is the fixed-point form: ranks are integers scaled by
+    ``scale``, each iteration computes
+    pr'(v) = base + sum(  (pr(u) * damping) div (100 * deg(u))  )
+    with integer division -- associative integer sums, deterministic at
+    any parallelism, and mirrored in the oracle by unrolling the fixed
+    iteration count as chained CTEs (no recursion, no float).
+
+    Scale shape per iteration: one join pr x edges on the uniform src
+    key + one aggregate on dst; the frame is localCheckpoint()ed each
+    round (lineage doubles per iteration otherwise -- the r3 lesson).
+    Ranks converge toward stationarity with truncation error < iters
+    ulps of 1/scale; the VALUE contract is exactness of this fixed
+    procedure, not of the real-valued limit.
+    """
+    if iters < 1 or not (0 < damping_pct < 100) or scale < 1:
+        raise ValueError("pagerank_fixed: invalid (iters, damping_pct, scale)")
+    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # materialize the static frames ONCE: every iteration joins
+    # dir_edges, and without the checkpoint the upstream edge derivation
+    # (e.g. LSH candidate generation) re-executes per round
+    dir_edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    deg = dir_edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    nodes = (
+        dir_edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            dir_edges.join(pr, dir_edges["src"] == pr["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.expr(f"(pr * {int(damping_pct)}) div (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("in_sum", F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr

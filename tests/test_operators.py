@@ -2164,3 +2164,29 @@ def test_streaming_restart_resumes_exactly_once(spark, tmp_path):
     # exactly-once: no (window, type) key appears twice in the sink
     n_rows = spark.read.parquet(out_dir).count()
     assert n_rows == len(got)
+
+
+def test_pagerank_fixed_matches_recompute(spark):
+    """The fixed-point procedure equals a pure-Python recompute on a
+    small known graph (star + path + isolate-pair), and the hub ranks
+    highest."""
+    from html2text_spark.operators.dedup import pagerank_fixed
+
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["pr"] for r in pagerank_fixed(df, iters=5).collect()}
+
+    adj, deg = {}, {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    pr = {n: 1_000_000 for n in adj}
+    for _ in range(5):
+        nxt = {}
+        for v in adj:
+            s = sum((pr[u] * 85) // (100 * deg[u]) for u in adj[v])
+            nxt[v] = 150_000 + s
+        pr = nxt
+    assert got == pr
+    assert max(got, key=got.get) == 1
