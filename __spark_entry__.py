@@ -3102,7 +3102,9 @@ from c group by 1
         "text_readability": """
 with s as (
   select doc_id,
-    len(string_split_regex(trim(text), '\\s+'))::BIGINT as n_words,
+    (case when trim(text) = '' then 0
+          else len(string_split_regex(trim(text), '\\s+')) end)::BIGINT
+      as n_words,
     list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
       w -> len(regexp_extract_all(w, '[aeiouyAEIOUY]+'))), 'sum')::BIGINT
       as n_syllables,
@@ -3110,8 +3112,10 @@ with s as (
       as n_sentences
   from documents)
 select doc_id, n_words, n_syllables, n_sentences,
-  round((206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE))
-        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 8) as flesch
+  round(case when n_words > 0 then
+          (206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE))
+          - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)
+        end, 8) as flesch
 from s
 """,
         "text_bm25": f"""

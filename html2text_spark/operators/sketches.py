@@ -166,6 +166,13 @@ def count_min_estimate(
     )
 
 
+def _validate_bloom_params(op: str, words: int, bits_per_word: int, k: int):
+    """Shared domain guard: build and probe MUST agree on these (a
+    mismatch re-addresses every probe into false negatives)."""
+    if words < 1 or k < 1 or not (1 <= bits_per_word <= 32):
+        raise ValueError(f"{op}: invalid (words, bits_per_word, k)")
+
+
 def bloom_build(
     keys: DataFrame,
     key_col: str,
@@ -193,8 +200,7 @@ def bloom_build(
     Catalyst can see, but an explicit persistent bloom covers the
     cross-job case (yesterday's key set filtering today's stream).
     """
-    if words < 1 or k < 1 or not (1 <= bits_per_word <= 32):
-        raise ValueError("bloom_build: invalid (words, bits_per_word, k)")
+    _validate_bloom_params("bloom_build", words, bits_per_word, k)
     m = words * bits_per_word
     key = F.col(key_col).cast("string")
     pos = [
@@ -247,8 +253,7 @@ def bloom_probe(
     least an out-of-domain value fails loud; callers persisting a bloom
     should persist its parameters beside it.
     """
-    if words < 1 or k < 1 or not (1 <= bits_per_word <= 32):
-        raise ValueError("bloom_probe: invalid (words, bits_per_word, k)")
+    _validate_bloom_params("bloom_probe", words, bits_per_word, k)
     m = words * bits_per_word
     mask = bloom.agg(
         F.map_from_entries(

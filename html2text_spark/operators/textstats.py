@@ -504,7 +504,10 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     value-exact cross-engine.  Pure projection: zero shuffle.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_words = F.size(words).cast("long")
+    # split('') yields [''] -- a blank/whitespace doc has ZERO words,
+    # not one, and must score NULL rather than maximum ease
+    blank = F.trim(F.col(text_col)) == ""
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("long")
     syllables = F.aggregate(
         F.transform(
             words, lambda w: F.regexp_count(w, F.lit(r"[aeiouyAEIOUY]+"))
@@ -517,8 +520,9 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     wps = n_words.cast("double") / n_sent.cast("double")
     spw = syllables.cast("double") / n_words.cast("double")
-    flesch = (
-        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
     )
     return df.select(
         "doc_id",

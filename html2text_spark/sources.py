@@ -274,19 +274,46 @@ def register_fixture_datasource(spark: SparkSession) -> None:
             self._n = n_parts
 
         def partitions(self):
-            return [InputPartition(i) for i in range(self._n)]
+            # plan from the file listing ONCE (driver side) and hand
+            # each partition its own name subset -- each fixture file is
+            # then opened exactly once, by exactly one task (reading the
+            # whole corpus per partition and filtering by index would be
+            # n_parts x the IO)
+            import os
+
+            from html2text_spark.fixtures import FIXTURE_DIR
+
+            names = sorted(
+                f[: -len(".html")]
+                for f in os.listdir(FIXTURE_DIR)
+                if f.endswith(".html")
+            )
+            return [
+                InputPartition(names[i :: self._n]) for i in range(self._n)
+            ]
 
         def read(self, partition):
-            from html2text_spark.fixtures import iter_fixtures
+            import os
 
-            for i, (name, html, expected, cfg) in enumerate(iter_fixtures()):
-                if i % self._n == partition.value:
-                    yield (
-                        name,
-                        html,
-                        expected,
-                        str(getattr(cfg, "body_width", 78)),
-                    )
+            from html2text_spark.fixtures import (
+                FIXTURE_DIR,
+                cleanup_eol,
+                config_for_fixture,
+            )
+
+            for name in partition.value:
+                with open(
+                    os.path.join(FIXTURE_DIR, name + ".html"),
+                    encoding="utf-8",
+                ) as f:
+                    html = cleanup_eol(f.read())
+                md_path = os.path.join(FIXTURE_DIR, name + ".md")
+                expected = ""
+                if os.path.exists(md_path):
+                    with open(md_path, encoding="utf-8") as f:
+                        expected = cleanup_eol(f.read()).rstrip()
+                cfg = config_for_fixture(name + ".html")
+                yield (name, html, expected, str(getattr(cfg, "body_width", 78)))
 
     class GoldenFixtureSource(DataSource):
         @classmethod

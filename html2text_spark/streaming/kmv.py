@@ -81,6 +81,17 @@ def kmv_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         grp = key[0]
+
+        def emit(mins):
+            n = len(mins)
+            if n < k:
+                est = float(n)
+            else:
+                est = (k - 1.0) / ((float(max(mins)) + 1.0) / _UNIT_SCALE)
+            return pd.DataFrame(
+                {"grp": [grp], "n_kept": [n], "kmv_estimate_raw": [est]}
+            )
+
         batches = [p for p in pdfs if len(p)]
         if batches:
             rows = pd.concat(batches)
@@ -101,29 +112,34 @@ def kmv_stream(
             hashes = hashes[mask]
             mins = list(state.get[0]) if state.exists else []
             merged = sorted(set(mins) | set(int(h) for h in hashes))[:k]
-            state.update((merged,))
-            # the timeout target must sit ABOVE the current watermark or
-            # Spark rejects it (a batch can deliver admitted rows after
-            # the watermark has already passed the horizon)
+            # flush target: one tick past the horizon (or past the last
+            # event when free-running).  Spark rejects a timeout at or
+            # below the current watermark; and re-arming ABOVE it would
+            # leave a timestamp the watermark may never pass again
+            # (clock rows split across batches -- review catch).  If the
+            # watermark has already passed the target, the sketch is
+            # complete by definition: emit NOW instead of arming.
             wm_ms = state.getCurrentWatermarkMs()
             if horizon_us is not None:
-                # flush when the watermark (driven by the clock rows)
-                # passes the observation horizon
-                state.setTimeoutTimestamp(max(horizon_us // 1000, wm_ms) + 1)
+                target_ms = horizon_us // 1000 + 1
             else:
-                last_us = int(ts_us.max())
-                state.setTimeoutTimestamp(max(last_us // 1000, wm_ms) + 1)
+                target_ms = int(ts_us.max()) // 1000 + 1
+            if target_ms > wm_ms:
+                state.update((merged,))
+                state.setTimeoutTimestamp(target_ms)
+            else:
+                existed = state.exists
+                if existed:
+                    state.remove()
+                # a batch of exclusively masked rows (clock/post-horizon)
+                # for an already-flushed group must not emit a second,
+                # empty sketch row
+                if merged or existed:
+                    yield emit(merged)
         elif state.hasTimedOut and state.exists:
             mins = list(state.get[0])
-            n = len(mins)
-            if n < k:
-                est = float(n)
-            else:
-                est = (k - 1.0) / ((float(max(mins)) + 1.0) / _UNIT_SCALE)
             state.remove()
-            yield pd.DataFrame(
-                {"grp": [grp], "n_kept": [n], "kmv_estimate_raw": [est]}
-            )
+            yield emit(mins)
 
     from ..operators.dedup import md5_int
 
