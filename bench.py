@@ -205,7 +205,6 @@ def main() -> int:
         "rel_top_brands",
         "rel_late_priority",
         "rel_customer_order_ranks",
-        "curation_sample",
         "curation_pack",
         "curation_ngrams",
         "sim_ivf_det_topk",
@@ -215,31 +214,17 @@ def main() -> int:
         "events_range_join",
         "events_rollup",
         "events_kmv_users",
-        "curation_holdout",
-        "curation_weighted_sample",
         "curation_decontaminate",
-        "text_repetition",
         "text_winnow",
-        "text_percentiles",
         "text_percentiles_hist",
-        "text_salient_terms",
-        "events_cube",
-        "events_hll_users",
-        "curation_mix",
-        "events_retention",
         "events_funnel",
-        "sim_centroids_q",
-        "events_props_json",
-        "events_pivot",
         "text_pii_scrub",
         "text_filter_verdicts",
         "curation_domain_cap",
-        "events_latest_state",
         "events_skew_agg",
         "rel_orphans",
         "text_cms_words",
         "events_rolling_active",
-        "curation_stratified",
         "events_incremental",
         "rel_profile",
         "events_transitions",
@@ -254,6 +239,15 @@ def main() -> int:
         "events_anomaly",
         "rel_bloom_prefilter",
     ]
+    # Trimmed from the timed extras in r5 (wall-time budget: the full
+    # run must stay inside the driver's capture window, and the list had
+    # grown past it): 14 stable sub-second pure projections/windows with
+    # three rounds of recorded history (curation_sample/_holdout/_mix/
+    # _weighted_sample/_stratified, text_repetition/_percentiles/
+    # _salient_terms, events_cube/_props_json/_pivot/_latest_state/
+    # _retention/_hll_users, sim_centroids_q).  The driver-gate still
+    # value-verifies all of them every round; bench_snapshots/ keeps
+    # their historical timings.
     # Deliberately NOT timed here (driver-gate still verifies their
     # values every round): the five streaming twins (per-run file
     # staging dominates their wall time), trained-KMeans sim_ivf_topk
