@@ -2190,3 +2190,42 @@ def test_pagerank_fixed_matches_recompute(spark):
         pr = nxt
     assert got == pr
     assert max(got, key=got.get) == 1
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """Property: canonicalization is idempotent -- canonical(canonical(u))
+    == canonical(u) over a randomized URL grammar (schemes, mixed-case
+    hosts, ports, paths, params incl. utm_*, fragments with '?')."""
+    from hypothesis import given, settings, strategies as st
+
+    from html2text_spark.operators.curation import canonical_url
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"])
+    host = st.sampled_from(
+        ["example.com", "EXAMPLE.com", "a.B.c", "x-y.org"]
+    )
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.sampled_from(["", "/", "/a", "/a/B/", "/a.b"])
+    param = st.sampled_from(
+        ["a=1", "b=2", "utm_source=x", "z", "", "a=2"]
+    )
+    query = st.lists(param, max_size=4).map(
+        lambda ps: "?" + "&".join(ps) if ps else ""
+    )
+    frag = st.sampled_from(["", "#f", "#!/sec?tab=1", "#a?b=c"])
+    url_s = st.builds(
+        lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
+        scheme, host, port, path, query, frag,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(url_s, min_size=1, max_size=8, unique=True))
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(canonical_url(F.col("url")).alias("c"))
+        twice = once.select(canonical_url(F.col("c")).alias("c2"))
+        a = [r["c"] for r in once.collect()]
+        b = [r["c2"] for r in twice.collect()]
+        assert a == b, list(zip(urls, a, b))
+
+    check()
