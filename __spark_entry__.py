@@ -1636,6 +1636,52 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.triangle_stats(pairs)
 
 
+def q_rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one pushed filter + one global aggregate, no
+    join, no group key -- the purest scan shape in the suite."""
+    return R.forecast_revenue_change(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue -- the
+    view + scalar-subquery pattern via a one-row broadcast max."""
+    return R.top_supplier(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "supplier")
+    )
+
+
+def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue in small-quantity lines of one brand;
+    the correlated average is an exact integer cross-multiplication."""
+    return R.small_quantity_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_rel_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs brand/quantity/size predicates over
+    one broadcast dim join."""
+    return R.discounted_brand_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists/not-exists pair as two aggregates
+    over a per-(order, supplier) frame on the uniform orderkey."""
+    return R.waiting_suppliers(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+    )
+
+
+def q_rel_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic breadth: ntile/percent_rank/cume_dist over exact-cents
+    customer spend (rank fractions are exact integer ratios)."""
+    return R.customer_spend_quartiles(_tbl(spark, sf_dir, "orders"))
+
+
 def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (5 iterations) over the LSH
     candidate graph -- deterministic at any parallelism (integer sums,
@@ -1700,7 +1746,6 @@ def queries() -> dict[str, _Q]:
         "extract_markdown_stats": q_extract_markdown_stats,
         "extract_markdown_ref": q_extract_markdown_ref,
         # -- families past the r4 cap (driver-unverified until now) --
-        "events_segments_stream": q_events_segments_stream,
         "events_attribution_stream": q_events_attribution_stream,
         "events_attribution_outer_stream": q_events_attribution_outer_stream,
         "text_pii_scrub": q_text_pii_scrub,
@@ -1715,11 +1760,6 @@ def queries() -> dict[str, _Q]:
         "events_histogram": q_events_histogram,
         "events_daily_delta": q_events_daily_delta,
         "rel_profile": q_rel_profile,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_revenue_by_nation": q_rel_revenue_by_nation,
-        "rel_top_brands": q_rel_top_brands,
-        "rel_late_priority": q_rel_late_priority,
-        "rel_customer_order_ranks": q_rel_customer_order_ranks,
         "rel_supplier_balance": q_rel_supplier_balance,
         "rel_orphans": q_rel_orphans,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1743,12 +1783,29 @@ def queries() -> dict[str, _Q]:
         "events_zorder": q_events_zorder,
         "text_readability": q_text_readability,
         "dedup_pagerank": q_dedup_pagerank,
+        "rel_forecast_revenue": q_rel_forecast_revenue,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_small_qty": q_rel_small_qty,
+        "rel_disjunctive": q_rel_disjunctive,
+        "rel_waiting_suppliers": q_rel_waiting_suppliers,
+        "rel_spend_quartiles": q_rel_spend_quartiles,
         "rel_returned_items": q_rel_returned_items,
         "rel_late_lines": q_rel_late_lines,
         "rel_cust_distribution": q_rel_cust_distribution,
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_revenue_by_nation": q_rel_revenue_by_nation,
+        "rel_top_brands": q_rel_top_brands,
+        "rel_late_priority": q_rel_late_priority,
+        "rel_customer_order_ranks": q_rel_customer_order_ranks,
+        "events_segments_stream": q_events_segments_stream,
+        "events_retention": q_events_retention,
+        "events_funnel": q_events_funnel,
+        "sim_centroids_q": q_sim_centroids_q,
+        "curation_holdout": q_curation_holdout,
+        "curation_mix": q_curation_mix,
         "curation_decontaminate": q_curation_decontaminate,
         "text_winnow": q_text_winnow,
         "curation_sample": q_curation_sample,
@@ -1791,13 +1848,8 @@ def queries() -> dict[str, _Q]:
         "text_cms_words": q_text_cms_words,
         "events_scd2": q_events_scd2,
         "events_skew_agg": q_events_skew_agg,
-        "events_retention": q_events_retention,
-        "events_funnel": q_events_funnel,
-        "sim_centroids_q": q_sim_centroids_q,
         "events_kmv_users": q_events_kmv_users,
         "events_hll_users": q_events_hll_users,
-        "curation_holdout": q_curation_holdout,
-        "curation_mix": q_curation_mix,
         "text_salient_terms": q_text_salient_terms,
         "events_sessions": q_events_sessions,
         "events_sessions_native": q_events_sessions_native,
@@ -3272,6 +3324,95 @@ with {union_near},
   from (select a as n from tedge union all select b as n from tedge)),
  tecnt as (select count(*)::BIGINT as n_edges from tedge)
 select n_nodes, n_edges, n_triangles from tnode, tecnt, tri3
+""",
+        "rel_forecast_revenue": """
+select sum(round(l_extendedprice*100)::BIGINT
+           * round(l_discount*100)::BIGINT)::BIGINT as revenue_cp,
+       count(*)::BIGINT as n_lines
+from lineitem
+where year(l_shipdate) = 1997
+  and round(l_discount*100)::BIGINT between 2 and 4
+  and round(l_quantity)::BIGINT < 24
+""",
+        "rel_top_supplier": """
+with rev as (
+  select l_suppkey,
+         sum(round(l_extendedprice*100)::BIGINT
+             * (100 - round(l_discount*100)::BIGINT))::BIGINT as revenue_cp
+  from lineitem
+  where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'
+  group by 1),
+ mx as (select max(revenue_cp) as m from rev)
+select s.s_suppkey, s.s_name, r.revenue_cp
+from rev r
+cross join mx
+join supplier s on r.l_suppkey = s.s_suppkey
+where r.revenue_cp = mx.m
+order by s.s_suppkey
+""",
+        "rel_small_qty": """
+with li as (
+  select l.l_partkey, round(l.l_quantity)::BIGINT as qty,
+         round(l.l_extendedprice*100)::BIGINT as price_cents
+  from lineitem l join part p on l.l_partkey = p.p_partkey
+  where p.p_brand = 'Brand#1'),
+ st as (select l_partkey as pk, count(*)::BIGINT as n_lines,
+               sum(qty)::BIGINT as sum_qty
+        from li group by 1)
+select sum(li.price_cents)::BIGINT as price_cents_total,
+       count(*)::BIGINT as n_small_lines
+from li join st on li.l_partkey = st.pk
+where li.qty * st.n_lines * 100 < 20 * st.sum_qty
+""",
+        "rel_disjunctive": """
+select sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT))::BIGINT as revenue_cp,
+       count(*)::BIGINT as n_lines
+from lineitem l join part p on l.l_partkey = p.p_partkey
+where (p.p_brand = 'Brand#1'
+       and round(l.l_quantity)::BIGINT between 1 and 11
+       and p.p_size between 1 and 5)
+   or (p.p_brand = 'Brand#2'
+       and round(l.l_quantity)::BIGINT between 10 and 20
+       and p.p_size between 1 and 10)
+   or (p.p_brand = 'Brand#3'
+       and round(l.l_quantity)::BIGINT between 20 and 30
+       and p.p_size between 1 and 15)
+""",
+        "rel_waiting_suppliers": """
+with j as (
+  select l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + interval 90 day) as late
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey),
+ per_os as (
+  select l_orderkey, l_suppkey,
+         max(case when late then 1 else 0 end)::BIGINT as any_late
+  from j group by 1, 2),
+ per_o as (
+  select l_orderkey, count(*)::BIGINT as n_supp,
+         sum(any_late)::BIGINT as n_late
+  from per_os group by 1)
+select s.s_suppkey, s.s_name, count(*)::BIGINT as n_waiting_orders
+from per_os po
+join per_o p using (l_orderkey)
+join supplier s on po.l_suppkey = s.s_suppkey
+where po.any_late = 1 and p.n_supp >= 2 and p.n_late = 1
+group by 1, 2
+order by n_waiting_orders desc, s.s_suppkey asc
+limit 20
+""",
+        "rel_spend_quartiles": """
+with spend as (
+  select o_custkey,
+         sum(round(o_totalprice*100)::BIGINT)::BIGINT as spend_cents,
+         count(*)::BIGINT as n_orders
+  from orders group by 1)
+select o_custkey, spend_cents, n_orders,
+       ntile(4) over w as quartile,
+       round(percent_rank() over w, 8) as pct_rank,
+       round(cume_dist() over w, 8) as cume
+from spend
+window w as (order by spend_cents desc, o_custkey asc)
 """,
         "dedup_pagerank": f"""
 with {union_near},

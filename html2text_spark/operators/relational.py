@@ -585,3 +585,210 @@ def promo_revenue_share(
             8,
         ).alias("promo_pct"),
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year: int = 1997,
+    disc_lo_pct: int = 2,
+    disc_hi_pct: int = 4,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from dropping small discounts.
+
+    The purest scan shape in the suite: one filter (every predicate
+    pushed to the parquet scan) + one global aggregate, no join, no
+    group key.  Revenue = price * discount in exact cent-percent units.
+    """
+    li = lineitem.filter(
+        (F.year("l_shipdate") == year)
+        & _pct("l_discount").between(disc_lo_pct, disc_hi_pct)
+        & (F.round("l_quantity").cast("long") < max_qty)
+    )
+    return li.agg(
+        _sum_wide(
+            _cents("l_extendedprice") * _pct("l_discount")
+        ).alias("revenue_cp"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+
+    Per-supplier aggregate on the uniform suppkey, then the one-row
+    global max joins back as a broadcast -- the view + scalar-subquery
+    pattern without materializing a view.  Exact integer cent-percent
+    revenue makes the max comparison exact (float revenue would make
+    'equals the max' flaky).
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias("rev_cp"),
+        )
+        .groupBy("l_suppkey")
+        .agg(_sum_wide(F.col("rev_cp")).alias("revenue_cp"))
+    )
+    mx = rev.agg(F.max("revenue_cp").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("revenue_cp") == F.col("max_rev"))
+        .join(supplier.select("s_suppkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cp")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    frac_pct: int = 20,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of one
+    brand -- lines below ``frac_pct``% of their part's average quantity.
+
+    The correlated average is an integer CROSS-MULTIPLICATION:
+    qty * n_lines * 100 < frac_pct * sum_qty  <=>  qty < frac% * avg --
+    no float division anywhere, so the threshold verdict is exact on
+    any engine.  Per-part stats aggregate on the uniform partkey and
+    join back; the brand dim rides a broadcast.
+    """
+    bparts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
+    )
+    small = li.join(stats, li["l_partkey"] == stats["pk"]).filter(
+        F.col("qty") * F.col("n_lines") * 100
+        < F.lit(frac_pct) * F.col("sum_qty")
+    )
+    return small.agg(
+        _sum_wide(F.col("price_cents")).alias("price_cents_total"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+def discounted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under disjunctive brand+quantity-range
+    predicates (the OR-of-ANDs pattern optimizers must not flatten into
+    a cross product).  One broadcast dim join; the disjunction applies
+    post-join; exact cent-percent money."""
+    li = lineitem.select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias("rev_cp"),
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("qty").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("qty").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("qty").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(cond).agg(
+        _sum_wide(F.col("rev_cp")).alias("revenue_cp"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    grace_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders (their line late, at least one other supplier on the order,
+    no OTHER supplier late).
+
+    The exists / not-exists pair becomes two aggregates over the same
+    per-(order, supplier) frame: per order, count distinct suppliers
+    and distinct LATE suppliers; a late supplier qualifies on orders
+    with >= 2 suppliers and exactly 1 late one (itself).  Lateness is
+    shipdate > orderdate + grace (the corpus carries no receipt/commit
+    dates).  Everything shuffles on the uniform orderkey; the supplier
+    name dim broadcasts at the end.
+    """
+    o = orders.select("o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"interval {int(grace_days)} days")
+        ).alias("late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("any_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    blamed = (
+        per_os.filter(F.col("any_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_waiting_orders"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_waiting_orders")
+        .orderBy(F.desc("n_waiting_orders"), F.asc("s_suppkey"))
+        .limit(k)
+    )
+
+
+def customer_spend_quartiles(orders: DataFrame) -> DataFrame:
+    """Analytic-function breadth: ntile quartiles, percent_rank and
+    cume_dist over per-customer total spend (exact integer cents so the
+    ORDER is exact; rank-derived fractions are exact IEEE ratios of
+    integers -- deterministic and oracle-mirrorable).  Ties broken by
+    custkey so every rank function is stable."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        orders.select(
+            "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("spend_cents"), F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "spend_cents",
+        "n_orders",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
