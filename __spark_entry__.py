@@ -1195,6 +1195,43 @@ def q_text_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH streaming family, first in COMPLETE output mode: the
+    count-min counter table maintained as a streaming aggregation
+    (bounded state = the depth x width counters), drained and
+    point-queried -- estimates equal the batch sketch's exactly, so the
+    streamed query shares text_cms_words' exact DuckDB oracle."""
+    from html2text_spark.streaming.cms import cms_words_complete
+
+    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "item string")
+    est = cms_words_complete(
+        spark,
+        _docs(spark, sf_dir),
+        probes,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        query_name=(
+            "cms_sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+        ),
+    )
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
+    )
+    exact = (
+        words.filter(F.col("item").isin(*CMS_PROBES))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, on="item", how="left").select(
+        "item",
+        "cms_estimate",
+        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+        (
+            F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))
+        ).alias("overcount"),
+    )
+
+
 def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct active users per day (rolling DAU/WAU):
     dedup to (user, day), constant-fanout explode to the 7 report days
@@ -1760,7 +1797,6 @@ def queries() -> dict[str, _Q]:
         "events_histogram": q_events_histogram,
         "events_daily_delta": q_events_daily_delta,
         "rel_profile": q_rel_profile,
-        "rel_supplier_balance": q_rel_supplier_balance,
         "rel_orphans": q_rel_orphans,
         "rel_shipping_priority": q_rel_shipping_priority,
         "rel_constraints": q_rel_constraints,
@@ -1776,6 +1812,7 @@ def queries() -> dict[str, _Q]:
         "events_anomaly": q_events_anomaly,
         "rel_bloom_prefilter": q_rel_bloom_prefilter,
         "events_kmv_stream": q_events_kmv_stream,
+        "text_cms_stream": q_text_cms_stream,
         "rel_nation_volume": q_rel_nation_volume,
         "rel_promo_share": q_rel_promo_share,
         "dedup_triangles": q_dedup_triangles,
@@ -1795,6 +1832,7 @@ def queries() -> dict[str, _Q]:
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "rel_supplier_balance": q_rel_supplier_balance,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
         "rel_top_brands": q_rel_top_brands,
@@ -2344,6 +2382,29 @@ with recursive {union_near},
   from m)
 select cluster_id, doc_id as keep_doc_id, quality, cluster_size
 from sized where rn = 1
+""",
+        "text_cms_stream": f"""
+with words as (
+  select unnest(string_split_regex(trim(text), '\\s+')) as item from documents),
+ idx as (select unnest([{", ".join(str(i) for i in range(CMS_DEPTH))}]) as i),
+ rc as (
+  select {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col, i as row
+  from words cross join idx),
+ sketch as (select row, col, count(*)::BIGINT as cnt from rc group by row, col),
+ probes(item) as (values {", ".join("('" + w + "')" for w in CMS_PROBES)}),
+ addr as (
+  select item, i as row,
+         {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col
+  from probes cross join idx),
+ est as (
+  select a.item, min(coalesce(s.cnt, 0))::BIGINT as cms_estimate
+  from addr a left join sketch s using (row, col) group by a.item),
+ exact as (select item, count(*)::BIGINT as exact_count from words
+           where item in (select item from probes) group by item)
+select e.item, e.cms_estimate,
+       coalesce(x.exact_count, 0)::BIGINT as exact_count,
+       (e.cms_estimate - coalesce(x.exact_count, 0))::BIGINT as overcount
+from est e left join exact x using (item)
 """,
         "text_cms_words": f"""
 with words as (

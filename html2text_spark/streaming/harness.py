@@ -27,6 +27,7 @@ def run_finite_stream(
     stream_fn: Callable[[DataFrame], DataFrame],
     query_name: str,
     work_dir: Optional[str] = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Write ``staged`` as one file, apply ``stream_fn`` to a readStream
     of it, drain with availableNow into memory sink ``query_name`` and
@@ -44,7 +45,7 @@ def run_finite_stream(
             stream_fn(stream)
             .writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -88,7 +89,7 @@ def run_finite_stream2(
             stream_fn(*streams)
             .writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )

@@ -2229,3 +2229,30 @@ def test_canonical_url_idempotent_fuzz(spark):
         assert a == b, list(zip(urls, a, b))
 
     check()
+
+
+def test_cms_stream_equals_batch_sketch(spark):
+    """EIGHTH streaming family (complete mode): the drained streaming
+    CMS counter table equals the batch sketch counter-for-counter
+    (order-insensitive sums), not just on estimates."""
+    from html2text_spark.operators.sketches import count_min_build
+    from html2text_spark.streaming.cms import cms_words_stream
+    from html2text_spark.streaming.harness import run_finite_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    streamed = run_finite_stream(
+        spark,
+        docs,
+        lambda s: cms_words_stream(s, depth=3, width=64),
+        "cms_eq_batch",
+        output_mode="complete",
+    )
+    got = {(r["row"], r["col"]): r["cnt"] for r in streamed.collect()}
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
+    )
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in count_min_build(words, "item", depth=3, width=64).collect()
+    }
+    assert got == want and len(got) > 50
