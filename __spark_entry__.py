@@ -1157,6 +1157,32 @@ CMS_PROBES = ("spark", "query", "the", "join", "table", "zzz_absent")
 CMS_DEPTH, CMS_WIDTH = 4, 512
 
 
+def _stream_query_name(prefix: str, sf_dir: str) -> str:
+    """Unique memory-sink name per (family, sf dir) -- one mangling rule
+    for every streaming query that keys its sink off the data dir."""
+    return prefix + "_sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+
+
+def _cms_probe_report(words, est) -> DataFrame:
+    """Shared tail of the batch and streamed CMS queries: exact counts
+    for the probe set (filtered BEFORE aggregating -- the unfiltered
+    groupBy would shuffle the whole corpus vocabulary to serve a 6-row
+    join) beside the sketch estimates, with the CMS overcount."""
+    exact = (
+        words.filter(F.col("item").isin(*CMS_PROBES))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, on="item", how="left").select(
+        "item",
+        "cms_estimate",
+        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+        (
+            F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))
+        ).alias("overcount"),
+    )
+
+
 def q_text_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch word-frequency estimates (third mergeable sketch
     family, operators/sketches.py): corpus word stream -> depth x width
@@ -1177,22 +1203,7 @@ def q_text_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = count_min_estimate(
         sketch, probes, "item", depth=CMS_DEPTH, width=CMS_WIDTH
     )
-    # exact side restricted to the 6 probes BEFORE aggregating -- the
-    # unfiltered groupBy would shuffle the whole corpus vocabulary to
-    # serve a 6-row join (isin is a pushed-down codegen filter)
-    exact = (
-        words.filter(F.col("item").isin(*CMS_PROBES))
-        .groupBy("item")
-        .agg(F.count("*").alias("exact_count"))
-    )
-    return est.join(exact, on="item", how="left").select(
-        "item",
-        "cms_estimate",
-        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
-        (
-            F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))
-        ).alias("overcount"),
-    )
+    return _cms_probe_report(words, est)
 
 
 def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,36 +1211,24 @@ def q_text_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-min counter table maintained as a streaming aggregation
     (bounded state = the depth x width counters), drained and
     point-queried -- estimates equal the batch sketch's exactly, so the
-    streamed query shares text_cms_words' exact DuckDB oracle."""
+    streamed query shares text_cms_words' exact DuckDB oracle (aliased,
+    never duplicated)."""
     from html2text_spark.streaming.cms import cms_words_complete
 
+    docs = _docs(spark, sf_dir)
     probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "item string")
     est = cms_words_complete(
         spark,
-        _docs(spark, sf_dir),
+        docs,
         probes,
         depth=CMS_DEPTH,
         width=CMS_WIDTH,
-        query_name=(
-            "cms_sf" + sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
-        ),
+        query_name=_stream_query_name("cms", sf_dir),
     )
-    words = _docs(spark, sf_dir).select(
+    words = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
     )
-    exact = (
-        words.filter(F.col("item").isin(*CMS_PROBES))
-        .groupBy("item")
-        .agg(F.count("*").alias("exact_count"))
-    )
-    return est.join(exact, on="item", how="left").select(
-        "item",
-        "cms_estimate",
-        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
-        (
-            F.col("cms_estimate") - F.coalesce(F.col("exact_count"), F.lit(0))
-        ).alias("overcount"),
-    )
+    return _cms_probe_report(words, est)
 
 
 def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,7 +1490,7 @@ def q_events_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_events_complete(
         spark,
         _tbl(spark, sf_dir, "events"),
-        query_name=f"kmv_sf{sf_dir.rstrip('/').split('sf')[-1].replace('.', '_')}",
+        query_name=_stream_query_name("kmv", sf_dir),
     )
 
 
@@ -2247,7 +2246,7 @@ docs as (select doc_id, text from documents
 
     quality = _quality_sql()
 
-    return {
+    oracles = {
         "extract_metrics": """
 select doc_id, octet_length(text::BLOB)::BIGINT as bytes_in, false as malformed,
        case when trim(text) = '' then 0 else 1 end::INT as n_spans
@@ -2382,29 +2381,6 @@ with recursive {union_near},
   from m)
 select cluster_id, doc_id as keep_doc_id, quality, cluster_size
 from sized where rn = 1
-""",
-        "text_cms_stream": f"""
-with words as (
-  select unnest(string_split_regex(trim(text), '\\s+')) as item from documents),
- idx as (select unnest([{", ".join(str(i) for i in range(CMS_DEPTH))}]) as i),
- rc as (
-  select {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col, i as row
-  from words cross join idx),
- sketch as (select row, col, count(*)::BIGINT as cnt from rc group by row, col),
- probes(item) as (values {", ".join("('" + w + "')" for w in CMS_PROBES)}),
- addr as (
-  select item, i as row,
-         {_MD5INT.format(expr="item || '#' || i::VARCHAR")} % {CMS_WIDTH} as col
-  from probes cross join idx),
- est as (
-  select a.item, min(coalesce(s.cnt, 0))::BIGINT as cms_estimate
-  from addr a left join sketch s using (row, col) group by a.item),
- exact as (select item, count(*)::BIGINT as exact_count from words
-           where item in (select item from probes) group by item)
-select e.item, e.cms_estimate,
-       coalesce(x.exact_count, 0)::BIGINT as exact_count,
-       (e.cms_estimate - coalesce(x.exact_count, 0))::BIGINT as overcount
-from est e left join exact x using (item)
 """,
         "text_cms_words": f"""
 with words as (
@@ -3590,3 +3566,8 @@ select doc_id, 'fake://' || doc_id::VARCHAR as media_ref,
 from documents
 """,
     }
+    # the streamed CMS shares the batch query's oracle BY CONSTRUCTION
+    # (same sketch, same probes) -- aliasing instead of duplicating the
+    # SQL guarantees the pair can never silently diverge
+    oracles["text_cms_stream"] = oracles["text_cms_words"]
+    return oracles

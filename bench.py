@@ -241,8 +241,8 @@ def main() -> int:
     ]
     # Trimmed from the timed extras in r5 (wall-time budget: the full
     # run must stay inside the driver's capture window, and the list had
-    # grown past it): 14 stable sub-second pure projections/windows with
-    # three rounds of recorded history (curation_sample/_holdout/_mix/
+    # grown past it): 15 stable pure projections/windows (all <= 1.1 s
+    # in the last snapshot) with three rounds of recorded history (curation_sample/_holdout/_mix/
     # _weighted_sample/_stratified, text_repetition/_percentiles/
     # _salient_terms, events_cube/_props_json/_pivot/_latest_state/
     # _retention/_hll_users, sim_centroids_q).  The driver-gate still

@@ -66,6 +66,7 @@ def run_finite_stream2(
     stream_fn: Callable[[DataFrame, DataFrame], DataFrame],
     query_name: str,
     work_dir: Optional[str] = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Two-input variant for stream-stream operators (joins): each side
     is staged as ONE parquet file so the first micro-batch admits BOTH
