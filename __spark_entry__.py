@@ -1470,6 +1470,17 @@ def q_rel_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF surface (the UDAF member of the
+    UDF/UDTF/UDAF triad): per-type median + MAD of exact cents --
+    np.median on an integer multiset is order-independent and identical
+    to DuckDB's quantile_cont(0.5), so even this Python aggregate is
+    oracle-exact."""
+    from html2text_spark.functions.udafs import robust_dispersion
+
+    return robust_dispersion(_tbl(spark, sf_dir, "events"))
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly volume anomalies per event type: |z| > 2 against the
     type's mean hourly count -- exact-integer moments, one sqrt/divide
@@ -1802,13 +1813,13 @@ def queries() -> dict[str, _Q]:
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
         "resume_pending": q_resume_pending,
-        "multimodal_features": q_multimodal_features,
         "multimodal_framesample": q_multimodal_framesample,
         # -- new in r5 (keep inside the first 50) --
         "rel_profile_approx": q_rel_profile_approx,
         "text_bm25": q_text_bm25,
         "curation_url_dedup": q_curation_url_dedup,
         "events_anomaly": q_events_anomaly,
+        "events_mad": q_events_mad,
         "rel_bloom_prefilter": q_rel_bloom_prefilter,
         "events_kmv_stream": q_events_kmv_stream,
         "text_cms_stream": q_text_cms_stream,
@@ -1831,6 +1842,7 @@ def queries() -> dict[str, _Q]:
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "multimodal_features": q_multimodal_features,
         "rel_supplier_balance": q_rel_supplier_balance,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_revenue_by_nation": q_rel_revenue_by_nation,
@@ -3136,6 +3148,16 @@ select h.o_custkey as custkey,
        (d.c_custkey is not null) as is_member,
        (d.c_custkey is null) as false_positive
 from hits h left join dim d on h.o_custkey = d.c_custkey
+""",
+        "events_mad": """
+with d as (select event_type as grp, round(value*100)::BIGINT as c
+           from events where value is not null),
+ m as (select grp, median(c) as med from d group by 1)
+select d.grp, m.med as median_cents,
+       median(abs(d.c - m.med)) as mad_cents,
+       count(*)::BIGINT as n
+from d join m using (grp)
+group by d.grp, m.med
 """,
         "events_anomaly": """
 with b as (

@@ -2256,3 +2256,28 @@ def test_cms_stream_equals_batch_sketch(spark):
         for r in count_min_build(words, "item", depth=3, width=64).collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_robust_dispersion_matches_recompute(spark):
+    """The grouped-agg pandas UDAF equals a driver-side numpy recompute
+    and ignores NULL values."""
+    import numpy as np
+
+    from html2text_spark.functions.udafs import robust_dispersion
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["grp"]: (r["median_cents"], r["mad_cents"], r["n"])
+        for r in robust_dispersion(events).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    per = {}
+    for r in rows:
+        if r["value"] is not None:
+            per.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    want = {}
+    for g, vs in per.items():
+        a = np.array(vs)
+        m = np.median(a)
+        want[g] = (float(m), float(np.median(np.abs(a - m))), len(vs))
+    assert got == want and got
