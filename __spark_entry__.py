@@ -1001,6 +1001,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal DECODE slot run end-to-end with the deterministic
+    fake codec (payload bytes = 1xN grayscale image): numpy frombuffer +
+    stats + 4-bucket histogram per payload in Arrow batches -- the same
+    mapInPandas loop a real PIL/libvips decode slots into -- with every
+    statistic re-derived by the DuckDB oracle from per-character code
+    points (bytes == code points on this ASCII corpus)."""
+    from html2text_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media_fake,
+    )
+
+    dec = decode_media_fake(attach_fake_media(_docs(spark, sf_dir)))
+    return dec.select(
+        "doc_id", "media_ref", "n_pixels",
+        F.round("mean_luma", 8).alias("mean_luma"),
+        "min_luma", "max_luma", "h0", "h1", "h2", "h3",
+    )
+
+
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.py): each media
     row expands JVM-side into its frame timestamps (sequence/explode;
@@ -1812,8 +1832,8 @@ def queries() -> dict[str, _Q]:
         "rel_constraints": q_rel_constraints,
         "corpus_curation": q_corpus_curation,
         "metrics_by_lang": q_metrics_by_lang,
-        "resume_pending": q_resume_pending,
         "multimodal_framesample": q_multimodal_framesample,
+        "multimodal_decode": q_multimodal_decode,
         # -- new in r5 (keep inside the first 50) --
         "rel_profile_approx": q_rel_profile_approx,
         "text_bm25": q_text_bm25,
@@ -1842,6 +1862,7 @@ def queries() -> dict[str, _Q]:
         "rel_large_orders": q_rel_large_orders,
         "rel_dormant_rich": q_rel_dormant_rich,
         # -- long-stable, driver-green r1-r4 families (local gate) --
+        "resume_pending": q_resume_pending,
         "multimodal_features": q_multimodal_features,
         "rel_supplier_balance": q_rel_supplier_balance,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -2833,6 +2854,21 @@ select grp, count(*) as n_kept,
 from r where rank <= 64 group by grp
 """,
         # streamed KMV == batch KMV == this same SQL (the whole point)
+        "multimodal_decode": """
+with px as (
+  select doc_id, unicode(substr(text, i, 1)) as v
+  from documents, unnest(range(1, length(text) + 1)) as u(i))
+select doc_id::VARCHAR as doc_id,
+       'fake://' || doc_id::VARCHAR as media_ref,
+       count(*)::BIGINT as n_pixels,
+       round(sum(v)::DOUBLE / count(*), 8) as mean_luma,
+       min(v)::INT as min_luma, max(v)::INT as max_luma,
+       sum(case when v // 64 = 0 then 1 else 0 end)::BIGINT as h0,
+       sum(case when v // 64 = 1 then 1 else 0 end)::BIGINT as h1,
+       sum(case when v // 64 = 2 then 1 else 0 end)::BIGINT as h2,
+       sum(case when v // 64 = 3 then 1 else 0 end)::BIGINT as h3
+from px group by 1, 2
+""",
         "events_kmv_stream": """
 with d as (select distinct event_type as grp, user_id as key from events),
  h as (select grp,

@@ -141,3 +141,73 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("min_luma", IntegerType()),
+        StructField("max_luma", IntegerType()),
+        StructField("h0", LongType()),
+        StructField("h1", LongType()),
+        StructField("h2", LongType()),
+        StructField("h3", LongType()),
+    ]
+)
+
+
+def decode_media_fake(media: DataFrame) -> DataFrame:
+    """The decode slot exercised end-to-end with a DETERMINISTIC fake
+    codec (the sanctioned stand-in while the container has no image
+    libraries): the payload's bytes ARE the 1xN grayscale image.
+
+    The per-image compute is genuinely decode-shaped -- numpy
+    ``frombuffer`` + vectorized stats + a 4-bucket histogram per payload
+    inside Arrow batches (the same mapInPandas loop a PIL/libvips decode
+    slots into, see ``decode_image``) -- while staying a pure function
+    of the bytes, so every statistic has a closed form an external SQL
+    engine can recompute: the DuckDB oracle re-derives luma from
+    per-character code points (bytes == code points for this ASCII
+    corpus) and matches value-for-value, mean included (one division).
+    """
+    import numpy as np
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+            }
+            stats = []
+            for b in pdf["payload"]:
+                px = np.frombuffer(b or b"", dtype=np.uint8)
+                if len(px) == 0:
+                    stats.append((0, None, None, None, 0, 0, 0, 0))
+                    continue
+                hist = np.bincount(px >> 6, minlength=4)
+                stats.append(
+                    (
+                        len(px),
+                        float(px.sum()) / len(px),
+                        int(px.min()),
+                        int(px.max()),
+                        int(hist[0]),
+                        int(hist[1]),
+                        int(hist[2]),
+                        int(hist[3]),
+                    )
+                )
+            cols = list(zip(*stats)) if stats else [[]] * 8
+            for i, name in enumerate(
+                ("n_pixels", "mean_luma", "min_luma", "max_luma",
+                 "h0", "h1", "h2", "h3")
+            ):
+                out[name] = cols[i]
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        decode_batches, DECODE_SCHEMA
+    )
