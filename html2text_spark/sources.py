@@ -330,3 +330,41 @@ def register_fixture_datasource(spark: SparkSession) -> None:
             return _FixtureReader()
 
     spark.dataSource.register(GoldenFixtureSource)
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    mime: str = "application/octet-stream",
+    pattern: str = "*",
+) -> DataFrame:
+    """Media ingestion via Spark's built-in ``binaryFile`` source: each
+    file becomes one (doc_id, media_ref, payload, meta) row in the
+    multimodal schema, ready for ``decode_media_fake`` /
+    ``extract_media_features``.
+
+    The binaryFile source reads (path, modificationTime, length,
+    content) with predicate pushdown on the path/length columns and
+    per-file parallelism -- the standard way raw image/audio dumps enter
+    a Spark pipeline before being compacted into parquet/Iceberg binary
+    columns (small-file pressure makes the compaction step mandatory at
+    crawl scale; this reader is the front door, not the steady state).
+    doc_id is the file stem, media_ref the full URI.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+    return raw.select(
+        stem.alias("doc_id"),
+        F.col("path").alias("media_ref"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
