@@ -602,3 +602,53 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     # ...but the OTHER dimension typically spans ~the whole domain (the
     # final, short row group can be a partial tail -- compare medians)
     assert statistics.median(u_h) > n_side * 3 // 4, u_h
+
+
+def test_aqe_splits_skewed_sortmerge_join(spark):
+    """AQE's runtime skew-join handling -- the join-side defense we rely
+    on at scale wherever the explicit salted_join isn't used -- must
+    actually trigger on a planted hot key: the executed adaptive plan
+    carries the skew=true marker and the hot partition is split."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the post-join aggregate makes AQE conservative about adding
+        # shuffles; force is the documented knob for exactly this case
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = _hot_key_corpus(spark, n=200000)
+        # the dim must reach the join as a BARE shuffle stage:
+        # OptimizeSkewedJoin pattern-matches Sort(ShuffleQueryStage) on
+        # both inputs, so a join input that is an aggregate's output is
+        # NOT split -- the precise gap the explicit salted_join covers
+        # (asserted below as the negative case)
+        dim = spark.range(1000 + 200000).select(
+            F.col("id").alias("user_id"), (F.col("id") % 7).alias("seg")
+        )
+        joined = big.join(dim, "user_id").select(
+            F.sum(F.col("event_id")).alias("s"), F.count("*").alias("n")
+        )
+        row = joined.collect()[0]
+        assert row["n"] == 200000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, plan
+
+        # negative case: same skewed join against an AGGREGATED dim is
+        # not eligible for the AQE split (join input != bare shuffle
+        # stage) -- documentation-by-assertion for why salted_join exists
+        agg_dim = big.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        j2 = big.join(agg_dim, "user_id").select(F.count("*").alias("n"))
+        assert j2.collect()[0]["n"] == 200000
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2, plan2
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
