@@ -2857,17 +2857,23 @@ from r where rank <= 64 group by grp
         "multimodal_decode": """
 with px as (
   select doc_id, unicode(substr(text, i, 1)) as v
-  from documents, unnest(range(1, length(text) + 1)) as u(i))
-select doc_id::VARCHAR as doc_id,
-       'fake://' || doc_id::VARCHAR as media_ref,
-       count(*)::BIGINT as n_pixels,
-       round(sum(v)::DOUBLE / count(*), 8) as mean_luma,
-       min(v)::INT as min_luma, max(v)::INT as max_luma,
-       sum(case when v // 64 = 0 then 1 else 0 end)::BIGINT as h0,
-       sum(case when v // 64 = 1 then 1 else 0 end)::BIGINT as h1,
-       sum(case when v // 64 = 2 then 1 else 0 end)::BIGINT as h2,
-       sum(case when v // 64 = 3 then 1 else 0 end)::BIGINT as h3
-from px group by 1, 2
+  from documents, unnest(range(1, length(text) + 1)) as u(i)),
+ st as (
+  select doc_id, count(*)::BIGINT as n_pixels,
+         round(sum(v)::DOUBLE / count(*), 8) as mean_luma,
+         min(v)::INT as min_luma, max(v)::INT as max_luma,
+         sum(case when v // 64 = 0 then 1 else 0 end)::BIGINT as h0,
+         sum(case when v // 64 = 1 then 1 else 0 end)::BIGINT as h1,
+         sum(case when v // 64 = 2 then 1 else 0 end)::BIGINT as h2,
+         sum(case when v // 64 = 3 then 1 else 0 end)::BIGINT as h3
+  from px group by 1)
+select d.doc_id::VARCHAR as doc_id,
+       'fake://' || d.doc_id::VARCHAR as media_ref,
+       coalesce(st.n_pixels, 0)::BIGINT as n_pixels,
+       st.mean_luma, st.min_luma, st.max_luma,
+       coalesce(st.h0, 0)::BIGINT as h0, coalesce(st.h1, 0)::BIGINT as h1,
+       coalesce(st.h2, 0)::BIGINT as h2, coalesce(st.h3, 0)::BIGINT as h3
+from documents d left join st on d.doc_id = st.doc_id
 """,
         "events_kmv_stream": """
 with d as (select distinct event_type as grp, user_id as key from events),

@@ -337,6 +337,7 @@ def read_media_files(
     path: str,
     mime: str = "application/octet-stream",
     pattern: str = "*",
+    require_unique_ids: bool = True,
 ) -> DataFrame:
     """Media ingestion via Spark's built-in ``binaryFile`` source: each
     file becomes one (doc_id, media_ref, payload, meta) row in the
@@ -350,6 +351,14 @@ def read_media_files(
     columns (small-file pressure makes the compaction step mandatory at
     crawl scale; this reader is the front door, not the steady state).
     doc_id is the file stem, media_ref the full URI.
+
+    Stems are NOT globally unique (cover.jpg + cover.png, or the same
+    name in nested dirs, collide -- and everything downstream keys on
+    doc_id), so ``require_unique_ids`` runs one tiny duplicate-count
+    aggregate over the file listing and raises with the colliding stems
+    before any payload is read.  Crawl-scale callers that key on
+    media_ref (always unique: the full URI) can pass False to skip the
+    extra job.
     """
     raw = (
         spark.read.format("binaryFile")
@@ -357,6 +366,22 @@ def read_media_files(
         .load(path)
     )
     stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+    if require_unique_ids:
+        dupes = [
+            r["stem"]
+            for r in raw.select(stem.alias("stem"))
+            .groupBy("stem")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(10)
+            .collect()
+        ]
+        if dupes:
+            raise ValueError(
+                "read_media_files: duplicate doc_id stems "
+                f"{dupes} -- rename the files, or pass "
+                "require_unique_ids=False and key on media_ref"
+            )
     return raw.select(
         stem.alias("doc_id"),
         F.col("path").alias("media_ref"),

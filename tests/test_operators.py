@@ -2272,9 +2272,16 @@ def test_robust_dispersion_matches_recompute(spark):
     }
     rows = events.select("event_type", "value").collect()
     per = {}
+    import math
+
     for r in rows:
         if r["value"] is not None:
-            per.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+            # F.round is HALF_UP (away from zero); Python round() is
+            # banker's -- floor(x+0.5) matches for the non-negative
+            # domain (review catch; latent on the current corpus)
+            per.setdefault(r["event_type"], []).append(
+                math.floor(r["value"] * 100 + 0.5)
+            )
     want = {}
     for g, vs in per.items():
         a = np.array(vs)

@@ -550,3 +550,22 @@ def test_read_media_files_binaryfile_source(spark, tmp_path):
     )
     r = decode_media_fake(empty).collect()[0]
     assert r["n_pixels"] == 0 and r["mean_luma"] is None
+
+
+def test_read_media_files_rejects_stem_collisions(spark, tmp_path):
+    """cover.jpg + cover.png would silently share a doc_id; the reader
+    raises up front (review catch) unless the caller opts out."""
+    import pytest as _pytest
+
+    from html2text_spark.sources import read_media_files
+
+    for name in ("cover.jpg", "cover.png", "other.bin"):
+        with open(tmp_path / name, "wb") as f:
+            f.write(b"x")
+    with _pytest.raises(ValueError, match="duplicate doc_id stems"):
+        read_media_files(spark, str(tmp_path))
+    rows = read_media_files(
+        spark, str(tmp_path), require_unique_ids=False
+    ).collect()
+    assert len(rows) == 3
+    assert len({r["media_ref"] for r in rows}) == 3
