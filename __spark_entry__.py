@@ -36,6 +36,16 @@ _Q = Callable[[SparkSession, str], DataFrame]
 TOKEN_PATTERN_SQL = T.TOKEN_PATTERN  # same literal as the Spark side
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-string ('128m', '4g', '134217728') -> bytes."""
+    s = str(v).strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                         ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Re-spread a small single-file scan across the cluster.
 
@@ -45,17 +55,63 @@ def _spread(df: DataFrame) -> DataFrame:
     repartition is a few MB -- negligible -- and removed by AQE when
     the input is already wide.
 
-    The ``df.rdd`` probe forces plan materialization, so a deployment
-    with a real multi-split input should disable the whole probe by
-    setting ``spark.html2text.assumeMultiSplit=true`` on the session.
+    The scan width is *estimated* from the scan's file list and the
+    session's split settings, mirroring Spark's own
+    ``FilePartition.maxSplitBytes`` formula -- a few driver-side stat
+    calls.  (The r1-r5 ``df.rdd.getNumPartitions()`` probe computed the
+    exact number but forced full physical planning + RDD conversion per
+    call: ~0.6 s of driver time *inside every timed query*, ~35% of the
+    r5 headline bench total.)  Non-file plans or remote schemes fall
+    back to the exact probe.  A deployment with a real multi-split input
+    disables the whole probe by setting
+    ``spark.html2text.assumeMultiSplit=true`` on the session.
     """
     sess = df.sparkSession
     if sess.conf.get("spark.html2text.assumeMultiSplit", "false") == "true":
         return df
     parallelism = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if _estimated_scan_partitions(df, parallelism) < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def _estimated_scan_partitions(df: DataFrame, parallelism: int) -> int:
+    """Estimate how many partitions a file scan produces.
+
+    Mirrors FilePartition.maxSplitBytes: splits are capped at
+    maxPartitionBytes, floored at max(openCostInBytes, bytesPerCore),
+    and each file is charged openCostInBytes when packed.  Exact enough
+    for the only decision taken here (scan width vs core count); any
+    input too opaque to estimate gets the exact ``df.rdd`` probe.
+    """
+    try:
+        files = df.inputFiles()
+        sizes = []
+        for uri in files:
+            if uri.startswith("file:"):
+                path = uri[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif uri.startswith("/"):
+                path = uri
+            else:  # remote scheme: stat via the exact probe instead
+                return df.rdd.getNumPartitions()
+            sizes.append(os.path.getsize(path))
+        if not sizes:
+            return df.rdd.getNumPartitions()
+        conf = df.sparkSession.conf
+        max_pb = _parse_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        open_cost = _parse_bytes(
+            conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        total = sum(sizes) + open_cost * len(sizes)
+        bytes_per_core = total / max(parallelism, 1)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        return max(1, -(-total // int(max(max_split, 1))))
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,24 +352,44 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id + 1000000, ' extra tail words appended') -- the planted
     near-dup corpus shared by the minhash/cluster/edit-distance
     queries.  ONE definition: the offset and the appended literal must
-    stay in lockstep with the oracles' union_near CTE."""
+    stay in lockstep with the oracles' union_near CTE.
+
+    Generated by a row-doubling explode, not a self-union: a union of
+    two references to the same scan plans TWO scan+repartition branches
+    (subtrees are not shared), doubling the read and the _spread
+    exchanges for an identical row multiset (guide §2.4: remove
+    shuffles outright)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    near = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail words appended")).alias("text"),
+    both = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words appended")).alias(
+                "text"
+            ),
+        ),
     )
-    return docs.unionAll(near)
+    return docs.select(F.explode(both).alias("r")).select(
+        "r.doc_id", "r.text"
+    )
 
 
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus a verbatim copy of every doc_id % 3 == 0 row, so
     exact-duplicate groups actually exist (mirrored in the oracles'
-    union_exact CTE)."""
+    union_exact CTE).  Row-doubling explode, not a self-union (see
+    _near_corpus)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    copy = docs.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+    orig = F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))
+    copy = F.struct(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text").alias("text")
     )
-    return docs.unionAll(copy)
+    rows = F.when(
+        F.col("doc_id") % 3 == 0, F.array(orig, copy)
+    ).otherwise(F.array(orig))
+    return docs.select(F.explode(rows).alias("r")).select(
+        "r.doc_id", "r.text"
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,16 +504,21 @@ def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; duplicates planted by unioning a
     lightly-perturbed copy of the embedding table."""
+    # row-doubling explode, not a self-union: a union of two references
+    # to the same scan plans two scan+repartition branches PER JOIN SIDE
+    # (4 scans total in the r5 plan) for an identical row multiset
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    near = emb.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.001)
-        ).alias("embedding"),
+    base = F.col("embedding").cast("array<double>")
+    both = F.array(
+        F.struct(F.col("vec_id").alias("vec_id"), base.alias("embedding")),
+        F.struct(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(base, lambda x: x * F.lit(1.001)).alias("embedding"),
+        ),
     )
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).unionAll(near)
+    corpus = emb.select(F.explode(both).alias("r")).select(
+        "r.vec_id", "r.embedding"
+    )
     return S.embedding_near_dups(corpus, threshold=0.9, n_planes=6)
 
 
@@ -500,18 +581,21 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises window + join + filter + aggregate in one plan."""
     docs = _docs(spark, sf_dir)
     labeled = D.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
-    quality = T.quality_score(docs)
-    # all three join inputs are corpus-sized: shuffle equi-joins on the
-    # uniform doc_id key (NO broadcast hints -- a corpus projection is
-    # not a dimension; forcing a broadcast of it is a driver OOM at the
-    # design scale, caught by the r2 judge).  Catalyst/AQE may still
+    # lang rides the quality projection (keep=), so the plan has ONE
+    # corpus-sized equi-join, not two -- the r5 shape joined quality and
+    # then docs(lang) separately, shuffling the corpus a second time for
+    # a column the first projection could carry for free (guide §2.4).
+    # Join inputs are corpus-sized: shuffle equi-joins on the uniform
+    # doc_id key (NO broadcast hints -- a corpus projection is not a
+    # dimension; forcing a broadcast of it is a driver OOM at the design
+    # scale, caught by the r2 judge).  Catalyst/AQE may still
     # auto-broadcast at toy scale where stats allow; the gate test pins
     # that no *forced* broadcast survives autoBroadcastJoinThreshold=-1.
+    quality = T.quality_score(docs, keep=("lang",))
     survivors = (
         labeled.filter(F.col("is_canonical"))
         .join(quality, "doc_id")
         .filter(F.col("quality") >= 0.5)
-        .join(docs.select("doc_id", "lang"), "doc_id")
     )
     return survivors.groupBy("lang").agg(
         F.count("*").alias("kept_docs"),
@@ -696,7 +780,11 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_operators.py)."""
     from html2text_spark.streaming.sessions import sessionize_batch
 
-    events = _tbl(spark, sf_dir, "events")
+    # no _spread: the plan's first operator is the user_id window
+    # shuffle, which redistributes the rows anyway -- a round-robin
+    # repartition before it is a pure extra exchange (and its
+    # sortBeforeRepartition local sort) at every scale
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return sessionize_batch(events, gap_minutes=30)
 
 

@@ -112,9 +112,18 @@ def minhash_signatures(
     # hash every shingle ONCE (32-bit md5 prefix), then derive the i-th
     # hash family member by universal hashing h_i = (a_i*h + b_i) mod p --
     # 8x less md5 work than salting the shingle per function, and the
-    # arithmetic stays within int64 (a < 2^31, h < 2^32 -> product < 2^63)
+    # arithmetic stays within int64 (a < 2^31, h < 2^32 -> product < 2^63).
+    # The hash array is materialized as a COLUMN in its own projection:
+    # inlining the expression into the num_hashes transforms re-evaluates
+    # the whole shingle+md5 pass once per hash function (CollapseProject
+    # keeps the split because the alias is non-cheap and multiply
+    # referenced; measured 3.2 s -> 0.74 s at sf0.1 -- the same hazard
+    # as winnow_fingerprints' _hashes).
     sh = shingles(text_col, k)
-    base = F.transform(sh, lambda s: md5_int32(s))
+    hashed = df.select(
+        "doc_id", F.transform(sh, lambda s: md5_int32(s)).alias("_base")
+    )
+    base = F.col("_base")
 
     def _minhash(i: int) -> Column:
         a, b = _UNIVERSAL_COEFFS[i]
@@ -125,7 +134,7 @@ def minhash_signatures(
         )
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -149,7 +158,16 @@ def minhash_lsh_candidates(
     cluster of M identical docs yields M^2/2 pairs): buckets are
     truncated to the first max_bucket ids -- beyond that the docs are
     exact-duplicate-class anyway and are linked transitively through the
-    retained members.
+    retained members.  The cap is applied BEFORE the collect (row_number
+    over the bucket key, which rides WindowGroupLimit below the
+    exchange), so no aggregation buffer ever holds more than max_bucket
+    ids -- a degenerate band shared by millions of docs previously
+    accumulated every doc_id in one executor's collect_set buffer before
+    the slice (the r5-flagged OOM hazard).  Each doc contributes exactly
+    one row per band, so ids are unique within a bucket and the first
+    max_bucket by doc_id are the same ids the r5
+    slice(sort_array(collect_set)) form retained -- the pair set is
+    bit-identical.
     """
     rows_per_band = num_hashes // bands
     assert num_hashes <= len(_UNIVERSAL_COEFFS), "extend _UNIVERSAL_COEFFS"
@@ -177,8 +195,16 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    buckets = banded.groupBy("band_idx", "band_hash").agg(
-        F.slice(F.sort_array(F.collect_set("doc_id")), 1, max_bucket).alias("ids")
+    capped = banded.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        ),
+    ).filter(F.col("_rn") <= max_bucket)
+    # groupBy keys == window partition keys: the aggregate reuses the
+    # window's hash partitioning, so the cap costs a sort, not a shuffle
+    buckets = capped.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     n = F.size("ids")
     pairs = F.flatten(

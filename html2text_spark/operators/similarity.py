@@ -35,7 +35,13 @@ def _norm(a: Column) -> Column:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity rounded to 8dp (the oracle-mirrored form)."""
+    """Cosine similarity rounded to 8dp (the oracle-mirrored form).
+
+    Reference definition only: the operators precompute ``_norm`` per
+    ROW and divide by the product inside the pair loop (identical IEEE
+    op order, bit-equal results) instead of re-evaluating both norm
+    folds per candidate pair.
+    """
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 8)
 
 
@@ -54,17 +60,25 @@ def cosine_topk(
     keys) over |queries| x |corpus| similarity rows; at 10^12-doc scale
     swap the window for a per-partition heap aggregation, same API.
     """
+    # norms precomputed ONCE per row (the r5 shape re-evaluated both
+    # array folds inside every (query, corpus) pair -- guide §2.3's
+    # "don't recompute in the hot pair loop"); sqrt-then-multiply is the
+    # identical IEEE operation order, so sims hash bit-equal
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("nrm", _norm(F.col("e")))
+    queries = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
-    queries = corpus.filter(
-        F.col("vec_id").isin(list(query_ids))
-    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     joined = F.broadcast(queries).crossJoin(corpus).filter(
         F.col("vec_id") != F.col("qid")
     )
-    sim = _cosine(F.col("qe"), F.col("e"))
+    sim = F.round(
+        _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 8
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         joined.select("qid", "vec_id", sim.alias("sim"))
@@ -121,12 +135,22 @@ def embedding_near_dups(
     touches ~1/2^n_planes of all pairs.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    hashed = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    # norm precomputed per row: inside the bucket self-join it would be
+    # re-evaluated once per candidate PAIR (two extra 64-element folds
+    # per pair); sqrt-then-multiply keeps the identical IEEE op order
+    hashed = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("e"), planes))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
     l, r = hashed.alias("l"), hashed.alias("r")
-    sim = _cosine(F.col("l.e"), F.col("r.e"))
+    sim = F.round(
+        _dot(F.col("l.e"), F.col("r.e")) / (F.col("l.nrm") * F.col("r.nrm")),
+        8,
+    )
     return (
         l.join(
             r,
@@ -179,21 +203,27 @@ def _ivf_core(
             F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
         )
 
+    # norm precomputed per row (re-evaluated per candidate pair in the
+    # r5 shape); identical IEEE op order, sims hash bit-equal
     indexed = corpus.withColumn(
         "cell", F.element_at(_nearest_cells(F.col("e"), 1), 1)
-    )
+    ).withColumn("nrm", _norm(F.col("e")))
     queries = indexed.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.explode(_nearest_cells(F.col("e"), n_probe)).alias("probe_cell"),
     )
     joined = F.broadcast(queries).join(
         indexed,
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("qid")),
     )
+    sim = F.round(
+        _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 8
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        joined.select("qid", "vec_id", _cosine(F.col("qe"), F.col("e")).alias("sim"))
+        joined.select("qid", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -288,13 +318,20 @@ def lsh_topk(
     the probe count.  Exact cosine re-ranks inside the candidate set.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    # per-row norm precomputed (not re-evaluated per candidate pair);
+    # identical IEEE op order, sims hash bit-equal
+    corpus = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("e"), planes))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
     queries = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     probes = [F.col("qbucket")]
@@ -315,7 +352,9 @@ def lsh_topk(
         corpus,
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
     )
-    sim = _cosine(F.col("qe"), F.col("e"))
+    sim = F.round(
+        _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 8
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         joined.select("qid", "vec_id", sim.alias("sim"))

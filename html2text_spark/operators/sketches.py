@@ -211,7 +211,14 @@ def bloom_build(
         F.explode(
             F.array(*[
                 F.struct(
-                    (p / F.lit(bits_per_word)).cast("long").alias("word_idx"),
+                    # integer 'div', not float '/': float division is
+                    # only exact below 2^53, so an extreme `words`
+                    # parameterization could silently mis-address bits
+                    # (the false-negative failure mode); 'div' matches
+                    # the oracle's integer `//` for ANY valid params
+                    F.call_function("div", p, F.lit(bits_per_word).cast("long"))
+                    .cast("long")
+                    .alias("word_idx"),
                     # shiftleft's Python wrapper only takes an int shift;
                     # the SQL function accepts a column
                     F.call_function(
@@ -264,7 +271,11 @@ def bloom_probe(
     test = None
     for i in range(k):
         pos = F.pmod(md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(m))
-        widx = (pos / F.lit(bits_per_word)).cast("long")
+        # integer 'div' (see bloom_build): exact addressing for any
+        # valid parameterization, matching the oracle's integer `//`
+        widx = F.call_function(
+            "div", pos, F.lit(bits_per_word).cast("long")
+        ).cast("long")
         bit = F.pmod(pos, F.lit(bits_per_word)).cast("int")
         hit = (
             F.call_function(

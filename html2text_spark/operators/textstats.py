@@ -42,12 +42,19 @@ def _marker_hits(text_col: str, words) -> Column:
     return F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern))
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
     """Heuristic document quality: length, punctuation and stopword ratios.
 
     score = 0.4*min(words/100,1) + 0.3*stopword_ratio*5 (capped at 0.3)
           + 0.3*(1 - punct_ratio*10 capped to [0,1])
     Deterministic double arithmetic, mirrored in the oracle SQL.
+
+    ``keep`` names input columns to carry through the projection
+    unchanged (appended after the score columns) -- the zero-cost way to
+    retain a grouping key, where recovering it later would mean a second
+    corpus-sized join.
     """
     text = F.col(text_col)
     n_chars = F.length(text).cast("double")
@@ -72,6 +79,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio, 8).alias("punct_ratio"),
         F.round(stop_ratio, 8).alias("stopword_ratio"),
         F.round(score, 8).alias("quality"),
+        *keep,
     )
 
 

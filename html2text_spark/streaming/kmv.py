@@ -109,6 +109,16 @@ def kmv_stream(
             mask = hashes >= 0
             if horizon_us is not None:
                 mask &= ts_us <= horizon_us
+            # drop rows at/below the current watermark:
+            # applyInPandasWithState does NOT filter late input rows, so
+            # without this a group whose sketch was already flushed
+            # (state removed) would re-enter the flush branch on a later
+            # micro-batch of late rows and emit a SECOND, partial sketch
+            # row in append mode (r5 ADVICE).  Standard watermark
+            # semantics: late data is dropped, an emitted group stays
+            # emitted.
+            wm_ms = state.getCurrentWatermarkMs()
+            mask &= ts_us > wm_ms * 1000
             hashes = hashes[mask]
             mins = list(state.get[0]) if state.exists else []
             merged = sorted(set(mins) | set(int(h) for h in hashes))[:k]
@@ -119,7 +129,6 @@ def kmv_stream(
             # (clock rows split across batches -- review catch).  If the
             # watermark has already passed the target, the sketch is
             # complete by definition: emit NOW instead of arming.
-            wm_ms = state.getCurrentWatermarkMs()
             if horizon_us is not None:
                 target_ms = horizon_us // 1000 + 1
             else:
