@@ -51,6 +51,13 @@ _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 # per-call genexpr this replaced in the o() hot path
 _WS_GUARD_RE = re.compile(r"[\t\n\r\f\v]|  ")
 
+#: push()'s stressed-boundary test, precompiled (re.match with a literal
+#: pattern pays the pattern-cache lookup on every stressed-adjacent run)
+_STRESSED_BOUNDARY_RE = re.compile(r"[^\[\](){}\s.!?]")
+
+#: shared read-only empty style dict (see handle_tag)
+_EMPTY_STYLE: Dict[str, str] = {}
+
 #: tags with dedicated dispatch blocks in handle_tag; any other tag is a
 #: pass-through (outside googleDoc mode) and can exit the dispatch early
 _HANDLED_TAGS = frozenset(
@@ -175,6 +182,13 @@ def _preprocess_entities(html_text: str) -> str:
         # spec-correct (and upstream-Python) behavior
         return "__PH2T__ENT_" + entity + "__"
 
+    # fast path: no '&' means _ENTITY_RE cannot match and no sentinel
+    # means the self-encode below is a no-op -- skip both scans (runs
+    # once per html fragment of every document)
+    if "&" not in html_text:
+        if "__PH2T__" not in html_text:
+            return html_text
+        return html_text.replace("__PH2T__", "__PH2T__RAW_x__")
     # input text that literally contains the sentinel (adversarial or
     # unlucky documents) must survive the round trip: self-encode it as a
     # RAW placeholder BEFORE generating real ones, decoded back verbatim
@@ -402,7 +416,7 @@ class _Parser(HTMLParser):
             self.preceding_stressed = True
         elif self.preceding_stressed:
             if (
-                re.match(r"[^\[\](){}\s.!?]", data[0])
+                _STRESSED_BOUNDARY_RE.match(data[0])
                 and utils.hn(self.current_tag) == 0
                 and self.current_tag not in ("a", "code", "pre")
             ):
@@ -629,8 +643,11 @@ class _Parser(HTMLParser):
 
     def handle_tag(self, tag: str, attrs: Dict[str, Optional[str]], start: bool):
         self.current_tag = tag
-        self.parent_style = {}
-        self.tag_style = {}
+        # shared empty dict, not two fresh allocations per tag event:
+        # both fields are only READ (google_text_emphasis & co), and the
+        # google_doc block below rebinds them to real dicts
+        self.parent_style = _EMPTY_STYLE
+        self.tag_style = _EMPTY_STYLE
 
         if self.cfg.tag_callback is not None:
             if self.cfg.tag_callback(self, tag, attrs, start) is True:
@@ -1147,7 +1164,12 @@ def _fast_wrap(para: str, width: int, indent: str) -> List[str]:
     """Greedy wrap, byte-identical to textwrap.wrap(break_long_words=False,
     subsequent_indent=indent) for the eligible subset: single-space word
     separators, no hyphens (textwrap's wordsep/em-dash machinery never
-    fires), no edge/control whitespace.  Caller checks eligibility."""
+    fires), no edge/control whitespace.  Caller checks eligibility.
+
+    (A prefix-sum + bisect variant was measured SLOWER at realistic
+    paragraph sizes -- building the cumulative array costs more than the
+    simple loop saves; keep the direct greedy loop.)
+    """
     words = para.split(" ")
     lines: List[str] = []
     cur: List[str] = []

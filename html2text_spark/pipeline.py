@@ -107,11 +107,18 @@ def _convert_row_spans(raw_spans, cfg: Config):
         # NB: raw_spans arrives as a numpy array from Arrow -- `or []`
         # would raise on its ambiguous truth value
         spans_list = [] if raw_spans is None else raw_spans
-        for s in sorted(spans_list, key=lambda x: x["offset"] or 0):
+        if len(spans_list) > 1:
+            spans_list = sorted(spans_list, key=lambda x: x["offset"] or 0)
+        for s in spans_list:
             kind = s["kind"] or ""
             text = s["text"] or ""
             media = s["media_ref"] or ""
-            bytes_in += len(text.encode("utf-8", "ignore")) + len(media)
+            # utf-8 byte count == len() for ASCII text; isascii() is a
+            # C-speed scan, encode() additionally allocates the bytes
+            if text.isascii():
+                bytes_in += len(text) + len(media)
+            else:
+                bytes_in += len(text.encode("utf-8", "ignore")) + len(media)
             in_spans.append((kind, text, media))
         out = convert_spans(in_spans, cfg)
     except Exception:
