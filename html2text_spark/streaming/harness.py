@@ -13,12 +13,39 @@ invariant in one place instead of one copy per streaming operator.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
+
+
+@contextlib.contextmanager
+def _state_partitions(spark):
+    """Pin the stream's state-store partition count for the query run.
+
+    A streaming query creates one state store instance per shuffle
+    partition PER stateful operator (a stream-stream join keeps four),
+    and every micro-batch commits a delta file per instance -- so the
+    partition count should track STATE VOLUME, not the batch session's
+    core count.  ``spark.html2text.stream.statePartitions`` overrides it
+    (a deployment with large keyed state raises it); the default of 8
+    fits the finite harness's per-group state at any tested SF (state
+    rows ~ |groups|, not |rows|).  Measured 32 -> 8 at sf0.1: the LEFT
+    OUTER interval join drops ~30% wall from state-commit overhead
+    alone.  Restored after the query finishes (the value is only read
+    at stream start).
+    """
+    conf = spark.conf
+    target = conf.get("spark.html2text.stream.statePartitions", "8")
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_finite_stream(
@@ -41,15 +68,16 @@ def run_finite_stream(
         stream = spark.readStream.schema(
             spark.read.parquet(in_dir).schema
         ).parquet(in_dir)
-        q = (
-            stream_fn(stream)
-            .writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark):
+            q = (
+                stream_fn(stream)
+                .writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if cleanup:
             # the memory sink holds the rows; the staged input is
@@ -86,15 +114,16 @@ def run_finite_stream2(
                     spark.read.parquet(in_dir).schema
                 ).parquet(in_dir)
             )
-        q = (
-            stream_fn(*streams)
-            .writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark):
+            q = (
+                stream_fn(*streams)
+                .writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if cleanup:
             shutil.rmtree(work_dir, ignore_errors=True)
