@@ -579,23 +579,37 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: keep canonical (exact-dedup) docs
     whose quality score clears a bar, count survivors per language.
     Exercises window + join + filter + aggregate in one plan."""
+    # JOIN-FREE shape (guide §2.3/§8: shuffle metadata, not payloads).
+    # The r5 plan dedup-labeled the corpus, then JOINED quality and lang
+    # back on doc_id -- two more corpus-sized shuffles to recover
+    # columns the first pass could carry.  Here one projection computes
+    # md5(text), the quality score, n_words and lang together; the
+    # dedup window then shuffles ONLY (doc_id, hash, lang, n_words,
+    # quality) -- the text never crosses an exchange and no join exists
+    # at any scale.  Values are identical: quality is a pure function of
+    # the text, and a copy row (doc_id+1e6 > any base id) is never its
+    # group's canonical, exactly as in the joined shape.
     docs = _docs(spark, sf_dir)
-    labeled = D.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
-    # lang rides the quality projection (keep=), so the plan has ONE
-    # corpus-sized equi-join, not two -- the r5 shape joined quality and
-    # then docs(lang) separately, shuffling the corpus a second time for
-    # a column the first projection could carry for free (guide §2.4).
-    # Join inputs are corpus-sized: shuffle equi-joins on the uniform
-    # doc_id key (NO broadcast hints -- a corpus projection is not a
-    # dimension; forcing a broadcast of it is a driver OOM at the design
-    # scale, caught by the r2 judge).  Catalyst/AQE may still
-    # auto-broadcast at toy scale where stats allow; the gate test pins
-    # that no *forced* broadcast survives autoBroadcastJoinThreshold=-1.
-    quality = T.quality_score(docs, keep=("lang",))
-    survivors = (
-        labeled.filter(F.col("is_canonical"))
-        .join(quality, "doc_id")
-        .filter(F.col("quality") >= 0.5)
+    orig = F.struct(
+        F.col("doc_id").alias("doc_id"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+    copy = F.struct(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+    rows = F.when(F.col("doc_id") % 3 == 0, F.array(orig, copy)).otherwise(
+        F.array(orig)
+    )
+    corpus = docs.select(F.explode(rows).alias("r")).select(
+        "r.doc_id", "r.text", "r.lang"
+    )
+    scored = T.quality_score(corpus, keep=("lang", "text"))
+    labeled = D.exact_dedup(scored, keep=("lang", "n_words", "quality"))
+    survivors = labeled.filter(
+        F.col("is_canonical") & (F.col("quality") >= 0.5)
     )
     return survivors.groupBy("lang").agg(
         F.count("*").alias("kept_docs"),

@@ -74,15 +74,22 @@ _UNIVERSAL_COEFFS = [
 ]
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str = "text", keep: tuple = ()) -> DataFrame:
     """Per-document exact-duplicate labeling via content-hash windows.
 
-    Returns (doc_id, content_hash, dup_count, is_canonical): canonical =
-    the minimum doc_id of its hash group.  One shuffle on content_hash.
+    Returns (doc_id, content_hash, *keep, dup_count, is_canonical):
+    canonical = the minimum doc_id of its hash group.  One shuffle on
+    content_hash -- and the shuffle carries only (doc_id, hash, *keep),
+    never the text: the hash is computed in the pre-exchange projection.
+    ``keep`` names input columns to ride along (e.g. a grouping key or a
+    pre-computed score), which lets callers avoid a corpus-sized
+    join to recover them afterwards.
     """
     w = Window.partitionBy("content_hash")
     return (
-        df.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        df.select(
+            "doc_id", F.md5(F.col(text_col)).alias("content_hash"), *keep
+        )
         .withColumn("dup_count", F.count("*").over(w))
         .withColumn(
             "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
