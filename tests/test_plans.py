@@ -112,6 +112,32 @@ def test_minhash_candidates_single_agg_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_minhash_bucket_cap_bounded_before_collect(spark):
+    """The max_bucket cap must be applied BEFORE the bucket collect
+    (row_number riding WindowGroupLimit), so no aggregation buffer ever
+    holds more than max_bucket ids -- the r5-flagged degenerate-band OOM
+    hazard.  Plan gate: WindowGroupLimit present (partial + final around
+    the bucket exchange); value gate: a planted degenerate band (many
+    docs, identical text => identical signature, one bucket per band)
+    yields exactly the first-max_bucket pair set."""
+    from pyspark.sql import functions as F
+
+    from html2text_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    cand = minhash_lsh_candidates(docs, max_bucket=10)
+    plan = _plan(cand)
+    assert "WindowGroupLimit" in plan, plan
+    rows = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    # every band's bucket is truncated to doc_ids 0..9 -> pairs are
+    # exactly the 45 ordered pairs over the retained ids
+    expect = {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert rows == expect
+
+
 def test_resume_anti_join_shape(spark):
     from html2text_spark.checkpoint import resume_filter
     from html2text_spark.sources import synthetic_documents
