@@ -28,7 +28,13 @@ from html2text_spark.operators import relational as R
 from html2text_spark.operators import similarity as S
 from html2text_spark.operators import textstats as T
 from html2text_spark.operators import multimodal as M
-from html2text_spark.pipeline import extract, markdown_col, text_of
+from html2text_spark.pipeline import (
+    extract,
+    extract_markdown_only,
+    extract_metrics_only,
+    markdown_col,
+    text_of,
+)
 from html2text_spark.sources import adapt_flat_documents
 
 _Q = Callable[[SparkSession, str], DataFrame]
@@ -155,7 +161,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(adapt_flat_documents(_docs(spark, sf_dir)))
+    # output-pruned twin: the query consumes only `metrics`, so the span
+    # structs are never built or Arrow-shipped (values identical --
+    # tests/test_spark_pipeline.py::test_output_pruned_twins_match_extract)
+    ext = extract_metrics_only(adapt_flat_documents(_docs(spark, sf_dir)))
     return ext.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("metrics.bytes_in").alias("bytes_in"),
@@ -166,10 +175,11 @@ def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # markdown itself is not SQL-expressible -> rows-only check
-    ext = extract(adapt_flat_documents(_docs(spark, sf_dir)))
-    return text_of(ext).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "markdown"
-    )
+    # output-pruned twin of text_of(extract(...)): markdown assembled in
+    # the Python worker, no span structs cross the Arrow boundary
+    return extract_markdown_only(
+        adapt_flat_documents(_docs(spark, sf_dir))
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "markdown")
 
 
 def q_extract_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +548,8 @@ def q_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan gate: tests/test_plans.py::test_metrics_by_lang_join_free.
     """
     docs = _docs(spark, sf_dir)
-    ext = extract(
+    # output-pruned twin: only metrics + lang are consumed downstream
+    ext = extract_metrics_only(
         adapt_flat_documents(docs, keep=("lang",)), passthrough=("lang",)
     )
     return ext.groupBy("lang").agg(

@@ -91,13 +91,17 @@ def recommended_session_conf() -> dict:
     }
 
 
-def _convert_row_spans(raw_spans, cfg: Config):
-    """Pure per-row conversion: input span structs -> output span structs.
+def _convert_row_core(raw_spans, cfg: Config):
+    """Pure per-row conversion: input span structs -> (span tuples, metrics).
 
     A malformed row (NULL spans, NULL offsets, conversion failure) must
     never fail the job: it yields empty output with metrics.malformed set
     (the reference raises LogicException for e.g. invalid base URLs -- we
-    record it instead).
+    record it instead).  Returns output spans as (kind, text, media_ref)
+    tuples; ``_convert_row_spans`` adds the struct dicts for callers that
+    ship the spans column, while the output-pruned projections
+    (extract_metrics_only / extract_markdown_only) consume the tuples
+    directly and never build them.
     """
     in_spans = []
     bytes_in = 0
@@ -125,16 +129,22 @@ def _convert_row_spans(raw_spans, cfg: Config):
         malformed = True
         out = []
     ms = (time.perf_counter() - t0) * 1000.0
-    out_structs = [
-        {"kind": k, "text": t, "media_ref": m, "offset": i}
-        for i, (k, t, m) in enumerate(out)
-    ]
-    return out_structs, {
-        "spans": len(out_structs),
+    return out, {
+        "spans": len(out),
         "bytes_in": bytes_in,
         "malformed": malformed,
         "ms": ms,
     }
+
+
+def _convert_row_spans(raw_spans, cfg: Config):
+    """Full-output per-row conversion: input structs -> output structs."""
+    out, metrics = _convert_row_core(raw_spans, cfg)
+    out_structs = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(out)
+    ]
+    return out_structs, metrics
 
 
 def make_extract_fn(cfg: Optional[Config] = None, passthrough: tuple = ()):
@@ -310,6 +320,84 @@ def extract(
     return df.select("doc_id", "spans", *passthrough).mapInPandas(
         make_extract_fn(cfg, passthrough), schema
     )
+
+
+def extract_metrics_only(
+    df: DataFrame,
+    cfg: Optional[Config] = None,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Output-pruned extraction twin: (doc_id, metrics, *passthrough).
+
+    ``mapInPandas`` is opaque to Catalyst, so column pruning cannot reach
+    *inside* the Python function's output: a query that only consumes
+    ``metrics`` still pays Arrow serialization (and JVM materialization)
+    of every output span struct when it goes through plain ``extract``.
+    This twin runs the IDENTICAL per-row conversion (_convert_row_core)
+    but never builds or ships the span structs -- the optimization
+    guide's "pass only the columns the function needs", applied to the
+    output side of the boundary.  Values are exactly those of
+    ``extract(df).select("doc_id", "metrics", *passthrough)``.
+    """
+    cfg = cfg or Config()
+
+    def metrics_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metrics_col = [
+                _convert_row_core(raw, cfg)[1] for raw in pdf["spans"]
+            ]
+            out = {"doc_id": pdf["doc_id"], "metrics": metrics_col}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("metrics", METRICS_TYPE),
+        ]
+        + [df.schema[c] for c in passthrough]
+    )
+    return df.select("doc_id", "spans", *passthrough).mapInPandas(
+        metrics_batches, schema
+    )
+
+
+def extract_markdown_only(
+    df: DataFrame, cfg: Optional[Config] = None
+) -> DataFrame:
+    """Output-pruned extraction twin: (doc_id, markdown).
+
+    Equivalent to ``text_of(extract(df))`` -- the markdown string is
+    assembled in the Python worker (join of the 'text' span texts in
+    order, exactly what ``markdown_col`` computes JVM-side) instead of
+    Arrow-shipping every span struct to the JVM and re-concatenating
+    there.  Identical values by convert_spans invariant 1.
+    """
+    cfg = cfg or Config()
+
+    def md_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md_col = [
+                "".join(
+                    t for k, t, _m in _convert_row_core(raw, cfg)[0]
+                    if k == "text"
+                )
+                for raw in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "markdown": md_col})
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("markdown", StringType()),
+        ]
+    )
+    return df.select("doc_id", "spans").mapInPandas(md_batches, schema)
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

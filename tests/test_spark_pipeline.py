@@ -132,6 +132,88 @@ def test_adapt_flat_documents(spark):
     assert row["markdown"] == convert("<p>hello <b>spark</b></p>")
 
 
+def test_output_pruned_twins_match_extract(spark):
+    """extract_metrics_only / extract_markdown_only run the identical
+    per-row conversion as extract() but never build or Arrow-ship the
+    span structs (mapInPandas output is opaque to Catalyst's column
+    pruning).  Twin outputs must be value-equal to the full projection --
+    including a malformed row and a media-interleaved row."""
+    from html2text_spark.pipeline import (
+        extract_markdown_only,
+        extract_metrics_only,
+    )
+
+    docs = synthetic_documents(spark, 40, seed=11)
+    extra = spark.createDataFrame(
+        [
+            # malformed: NULL spans
+            ("null-spans", None),
+            # media spans interleave with html (media_ref output spans
+            # must be excluded from the markdown, counted in metrics)
+            (
+                "with-media",
+                [
+                    {"kind": "html", "text": "<p>a b</p>", "media_ref": "",
+                     "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "m.png",
+                     "offset": 1},
+                    {"kind": "html", "text": "<p>c d</p>", "media_ref": "",
+                     "offset": 2},
+                ],
+            ),
+        ],
+        INPUT_SCHEMA,
+    )
+    docs = docs.unionAll(extra)
+
+    full = extract(docs)
+    want_metrics = {
+        r["doc_id"]: r["m"]
+        for r in full.select(
+            "doc_id",
+            F.struct(
+                "metrics.spans", "metrics.bytes_in", "metrics.malformed"
+            ).alias("m"),
+        ).collect()
+    }
+    got_metrics = {
+        r["doc_id"]: r["m"]
+        for r in extract_metrics_only(docs)
+        .select(
+            "doc_id",
+            F.struct(
+                "metrics.spans", "metrics.bytes_in", "metrics.malformed"
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert got_metrics == want_metrics
+
+    want_md = {
+        r["doc_id"]: r["markdown"] for r in text_of(full).collect()
+    }
+    got_md = {
+        r["doc_id"]: r["markdown"]
+        for r in extract_markdown_only(docs).collect()
+    }
+    assert got_md == want_md
+
+    # passthrough column rides through the pruned twin unchanged
+    flat = spark.createDataFrame(
+        [(1, "<p>x</p>", "en"), (2, "<p>y</p>", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = (
+        extract_metrics_only(
+            adapt_flat_documents(flat, keep=("lang",)), passthrough=("lang",)
+        )
+        .select("doc_id", "lang", "metrics.spans")
+        .collect()
+    )
+    assert {(r["doc_id"], r["lang"]) for r in rows} == {("1", "en"), ("2", "fr")}
+    assert all(r["spans"] >= 1 for r in rows)
+
+
 def test_checkpoint_resume(spark, tmp_path):
     out = str(tmp_path / "run1")
     docs = synthetic_documents(spark, 40, seed=3)
